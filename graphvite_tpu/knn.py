@@ -1,0 +1,177 @@
+"""KNN graph construction for LargeVis visualization.
+
+TPU-native replacement for the reference's FAISS-based KNNGraph
+(include/instance/visualization.cuh:59-412): exact K-nearest-neighbor search
+is a tiled ``|x|^2 + |y|^2 - 2 x.y^T`` matmul + top-k on the MXU instead of
+`faiss::GpuIndexFlatL2`. Per-dim normalization (visualization.cuh:179-193),
+perplexity-calibrated Gaussian weights via vectorized binary search on beta
+(:196-237) and reciprocal-edge weight averaging (:240-253) preserve the
+reference's statistics exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from graphvite_tpu.utils.common import EPSILON, auto, logger
+
+
+def exact_knn(vectors: np.ndarray, k: int, row_chunk: int = 4096):
+    """Top-(k+1) nearest neighbors by squared L2, including self.
+
+    Returns (distances, labels) of shape [n, k+1], ascending distance —
+    the same contract as faiss' L2 search (visualization.cuh:89-93).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, d = vectors.shape
+    kk = min(k + 1, n)
+    x = jnp.asarray(vectors, jnp.float32)
+    sq = jnp.sum(x * x, axis=1)
+
+    @jax.jit
+    def chunk_knn(rows):
+        # [C, n] squared distances via one MXU matmul
+        dots = jnp.dot(x[rows], x.T, preferred_element_type=jnp.float32)
+        d2 = sq[rows][:, None] + sq[None, :] - 2.0 * dots
+        neg_dist, idx = jax.lax.top_k(-d2, kk)
+        return -neg_dist, idx
+
+    dist = np.empty((n, kk), dtype=np.float32)
+    labels = np.empty((n, kk), dtype=np.int64)
+    for i in range(0, n, row_chunk):
+        rows = jnp.arange(i, min(i + row_chunk, n))
+        dd, ii = chunk_knn(rows)
+        dist[i:i + row_chunk] = np.asarray(dd)
+        labels[i:i + row_chunk] = np.asarray(ii)
+    return dist, labels
+
+
+def perplexity_weights(distances: np.ndarray, perplexity: float,
+                       num_iteration: int = 100, tol: float = 1e-5):
+    """Per-row Gaussian kernel calibration: find beta_i such that the entropy
+    of w_ij = exp(-beta_i * d_ij) matches log(perplexity); 100-iteration
+    bisection, vectorized over rows (visualization.cuh:196-237)."""
+    d = np.asarray(distances, dtype=np.float64)
+    n = d.shape[0]
+    beta = np.ones(n)
+    low = np.full(n, -1.0)
+    high = np.full(n, -1.0)
+    target = np.log(perplexity)
+    done = np.zeros(n, dtype=bool)
+    norm = np.ones(n)
+    for _ in range(num_iteration):
+        w = np.exp(-beta[:, None] * d)
+        norm = w.sum(axis=1)
+        entropy = (beta[:, None] * d * w).sum(axis=1) / norm + np.log(norm)
+        newly = np.abs(entropy - target) < tol
+        done |= newly
+        if done.all():
+            break
+        too_high = (entropy > target) & ~done
+        too_low = ~too_high & ~done
+        low[too_high] = beta[too_high]
+        beta[too_high] = np.where(high[too_high] < 0, beta[too_high] * 2,
+                                  (beta[too_high] + high[too_high]) / 2)
+        high[too_low] = beta[too_low]
+        beta[too_low] = np.where(low[too_low] < 0, beta[too_low] / 2,
+                                 (beta[too_low] + high[too_low]) / 2)
+    w = np.exp(-beta[:, None] * d)
+    return (w / norm[:, None]).astype(np.float32)
+
+
+class KNNGraph:
+    """KNN graph container consumed by VisualizationSolver.
+
+    Produces the same flat directed-edge arrays as Graph; vertex_weights are
+    all 1 (uniform negative sampling base, visualization.cuh:235)."""
+
+    def __init__(self, device_ids=None, num_thread_per_worker=auto):
+        self.clear()
+
+    def clear(self):
+        self.num_vertex = 0
+        self.num_edge = 0
+        self.dim = 0
+        self.num_neighbor = 200
+        self.perplexity = 50.0
+        self.vector_normalization = True
+        self.id2name = []
+        self.name2id = {}
+        self.edge_heads = np.zeros(0, dtype=np.int64)
+        self.edge_tails = np.zeros(0, dtype=np.int64)
+        self.edge_weights = np.zeros(0, dtype=np.float32)
+        self.vertex_weights = np.zeros(0, dtype=np.float64)
+
+    def load_numpy(self, vectors, num_neighbor=200, perplexity=50,
+                   vector_normalization=True):
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2:
+            vectors = vectors.reshape(len(vectors), -1)
+        self.clear()
+        self.num_vertex, self.dim = vectors.shape
+        self.num_neighbor = min(int(num_neighbor), self.num_vertex - 1)
+        self.perplexity = float(perplexity)
+        self.vector_normalization = bool(vector_normalization)
+        self.id2name = [str(i) for i in range(self.num_vertex)]
+        self.name2id = {n: i for i, n in enumerate(self.id2name)}
+        self._build(vectors)
+        return self
+
+    load_vectors = load_numpy
+
+    def load_file(self, file_name, num_neighbor=200, perplexity=50,
+                  vector_normalization=True, delimiters=None, comment="#"):
+        rows = []
+        with open(file_name) as f:
+            for line in f:
+                ci = line.find(comment)
+                if ci >= 0:
+                    line = line[:ci]
+                parts = line.split(delimiters) if delimiters else line.split()
+                if parts:
+                    rows.append([float(p) for p in parts])
+        return self.load_numpy(np.asarray(rows, dtype=np.float32),
+                               num_neighbor, perplexity, vector_normalization)
+
+    def _build(self, vectors):
+        k = self.num_neighbor
+        if self.vector_normalization:
+            # per-dim: subtract mean, divide by max |.| (visualization.cuh:179-193)
+            vectors = vectors - vectors.mean(axis=0, keepdims=True)
+            vectors = vectors / (np.abs(vectors).max(axis=0, keepdims=True) + EPSILON)
+        logger.info("building %d-NN graph over %d x %d vectors",
+                    k, self.num_vertex, self.dim)
+        dist, labels = exact_knn(vectors, k)
+        # drop self (first column)
+        dist = dist[:, 1:k + 1]
+        labels = labels[:, 1:k + 1]
+        weights = perplexity_weights(dist, self.perplexity)
+        # reciprocal-edge averaging (visualization.cuh:240-253)
+        n = self.num_vertex
+        heads = np.repeat(np.arange(n, dtype=np.int64), k)
+        tails = labels.reshape(-1).astype(np.int64)
+        w = weights.reshape(-1).astype(np.float64)
+        key = heads * n + tails
+        rkey = tails * n + heads
+        order = np.argsort(key)
+        skey = key[order]
+        pos = np.searchsorted(skey, rkey)
+        pos = np.minimum(pos, skey.size - 1)
+        has_recip = skey[pos] == rkey
+        recip_w = np.where(has_recip, w[order][pos], 0.0)
+        w = np.where(has_recip, (w + recip_w) / 2.0, w)
+        self.edge_heads = heads
+        self.edge_tails = tails
+        self.edge_weights = w.astype(np.float32)
+        self.num_edge = heads.size
+        self.vertex_weights = np.ones(n, dtype=np.float64)
+
+    def info(self):
+        return ("#vertex: %d, #nearest neighbor: %d\nperplexity: %g, "
+                "vector normalization: %s"
+                % (self.num_vertex, self.num_neighbor, self.perplexity,
+                   "yes" if self.vector_normalization else "no"))
+
+    def __repr__(self):
+        return "KNNGraph<%d vertices, %d-NN>" % (self.num_vertex, self.num_neighbor)

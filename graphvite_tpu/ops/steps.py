@@ -1,0 +1,256 @@
+"""Jitted training/prediction steps: the TPU replacement for the reference's
+fused CUDA kernels (include/instance/gpu/{graph,knowledge_graph,visualization}.cuh).
+
+Design: instead of hogwild warp-per-sample updates, each step processes a
+batch of B positive samples and K on-device-sampled negatives in one traced
+program: gather rows -> score 1+K pairs -> logistic (or student-t) loss ->
+per-touch regularized gradients -> row-sparse optimizer scatter updates
+(duplicates within a batch accumulate; see graphvite_tpu.optim).
+
+Each builder returns a function over a `state` pytree
+    state = {"tables": (...), "moments": ((...m1, m2...), ...)}
+that is scanned over a pool of batches in a single device call (the episode
+machinery of solver.h:588-654 reborn as `lax.scan`).
+
+Loss conventions match gpu/graph.cuh:73-92, gpu/knowledge_graph.cuh:59-124
+and gpu/visualization.cuh:96-124.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphvite_tpu.optim import Optimizer, apply_row_updates
+from graphvite_tpu.ops.alias import device_sample
+from graphvite_tpu.utils.common import EPSILON
+
+
+def _logistic_terms(logits, num_negative, negative_weight):
+    """Per-subsample gradient (dL/dlogit) / weight / loss for the layout
+    [negatives..., positive] along the last axis."""
+    prob = jax.nn.sigmoid(logits)
+    k = num_negative
+    label = jnp.concatenate(
+        [jnp.zeros((k,), logits.dtype), jnp.ones((1,), logits.dtype)])
+    label = jnp.broadcast_to(label, logits.shape)
+    gradient = prob - label
+    weight = jnp.where(label > 0, 1.0, negative_weight).astype(logits.dtype)
+    loss = jnp.where(label > 0,
+                     -jnp.log(prob + EPSILON),
+                     -jnp.log(1.0 - prob + EPSILON))
+    sample_loss = jnp.sum(weight * loss, axis=-1) / (1.0 + k * negative_weight)
+    return gradient, weight, sample_loss
+
+
+# ---------------------------------------------------------------------------
+# node embedding (vertex/context tables; ref gpu/graph.cuh)
+# ---------------------------------------------------------------------------
+
+def make_graph_train_step(model, opt: Optimizer, num_negative: int,
+                          negative_weight: float):
+    """state tables: (vertex, context); batch: (heads[B], tails[B]);
+    negative sampler state: (prob[Vc], alias[Vc]) device alias arrays."""
+
+    def step(state, heads, tails, key, lr, neg_prob, neg_alias):
+        vertex, context = state["tables"]
+        v_moms, c_moms = state["moments"]
+        b = heads.shape[0]
+        k = num_negative
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (b, k))
+        u2 = jax.random.uniform(k2, (b, k))
+        negs = device_sample(neg_prob, neg_alias, u1, u2)
+
+        v = vertex[heads]                                    # [B, D]
+        ctx_ids = jnp.concatenate([negs, tails[:, None]], axis=1)  # [B, K+1]
+        c = context[ctx_ids]                                 # [B, K+1, D]
+        logits = model.score(v[:, None, :], c)               # [B, K+1]
+        gradient, weight, sample_loss = _logistic_terms(
+            logits, k, negative_weight)
+
+        gv, gc = model.backward(v[:, None, :], c, gradient)  # [B,K+1,D] each
+        w = weight[..., None]
+        wd = opt.weight_decay
+        # vertex row: touched K+1 times per sample; accumulate before scatter
+        # (the reference keeps the vertex row in a local warp buffer across
+        # subsamples, gpu/graph.cuh:59-93)
+        reg_v = jnp.sum(w * gv, axis=1) + (jnp.sum(weight, axis=-1)[:, None] * wd) * v
+        reg_c = w * gc + wd * w * c
+        new_vertex, new_v_moms = apply_row_updates(
+            vertex, v_moms, heads, reg_v, opt, lr)
+        new_context, new_c_moms = apply_row_updates(
+            context, c_moms, ctx_ids.reshape(-1),
+            reg_c.reshape(b * (k + 1), -1), opt, lr)
+        new_state = {"tables": (new_vertex, new_context),
+                     "moments": (new_v_moms, new_c_moms)}
+        return new_state, jnp.mean(sample_loss)
+
+    return step
+
+
+def graph_predict(model, vertex, context, heads, tails):
+    return model.score(vertex[heads], context[tails])
+
+
+# ---------------------------------------------------------------------------
+# knowledge graph (tied entity table + global relation table;
+# ref gpu/knowledge_graph.cuh)
+# ---------------------------------------------------------------------------
+
+def make_kg_train_step(model, opt: Optimizer, num_negative: int,
+                       margin_or_l3: float, adversarial_temperature: float,
+                       relation_lr_multiplier: float):
+    """state tables: (entity, relation). Negatives are uniform over
+    2 * num_entity ids: id < V corrupts the head, else the tail
+    (the split-id trick of gpu/knowledge_graph.cuh:65-69 applied to the
+    whole entity table instead of a partition pair)."""
+
+    def step(state, heads, tails, rels, key, lr):
+        entity, relation = state["tables"]
+        e_moms, r_moms = state["moments"]
+        b = heads.shape[0]
+        k = num_negative
+        num_entity = entity.shape[0]
+
+        neg_ids = jax.random.randint(key, (b, k), 0, 2 * num_entity)
+        corrupt_head = neg_ids < num_entity
+        h_neg = jnp.where(corrupt_head, neg_ids, heads[:, None])
+        t_neg = jnp.where(corrupt_head, tails[:, None], neg_ids - num_entity)
+        h_ids = jnp.concatenate([h_neg, heads[:, None]], axis=1)  # [B, K+1]
+        t_ids = jnp.concatenate([t_neg, tails[:, None]], axis=1)
+
+        h = entity[h_ids]                                    # [B, K+1, D]
+        t = entity[t_ids]
+        r = relation[rels][:, None, :]                       # [B, 1, D]
+        logits = model.score(h, t, r, margin_or_l3)          # [B, K+1]
+
+        prob = jax.nn.sigmoid(logits)
+        pos_loss = -jnp.log(prob[:, -1] + EPSILON)
+        neg_logits = logits[:, :k]
+        if adversarial_temperature > EPSILON:
+            # exact softmax normalizer; the reference's stale-normalizer clip
+            # (gpu/knowledge_graph.cuh:109-112) kept for parity
+            neg_w = jax.nn.softmax(neg_logits / adversarial_temperature, axis=-1)
+            neg_w = jnp.minimum(neg_w, 1.0)
+        else:
+            neg_w = jnp.full_like(neg_logits, 1.0 / k)
+        neg_loss = jnp.sum(neg_w * -jnp.log(1.0 - prob[:, :k] + EPSILON), axis=-1)
+        sample_loss = (pos_loss + neg_loss) / 2.0
+
+        label = jnp.concatenate(
+            [jnp.zeros((b, k), logits.dtype), jnp.ones((b, 1), logits.dtype)], axis=1)
+        gradient = prob - label
+        weight = jnp.concatenate([neg_w, jnp.ones((b, 1), logits.dtype)], axis=1)
+
+        gh, gt, gr = model.backward(h, t, r, gradient, margin_or_l3)
+        w = weight[..., None]
+        wd = opt.weight_decay
+        reg_h = w * (gh + wd * h)
+        reg_t = w * (gt + wd * t)
+        # relation row: one touch per subsample (gr broadcast over K+1)
+        reg_r = jnp.sum(w * (gr + wd * r), axis=1)           # [B, D]
+
+        ent_ids = jnp.concatenate([h_ids.reshape(-1), t_ids.reshape(-1)])
+        ent_grads = jnp.concatenate([
+            reg_h.reshape(b * (k + 1), -1), reg_t.reshape(b * (k + 1), -1)])
+        new_entity, new_e_moms = apply_row_updates(
+            entity, e_moms, ent_ids, ent_grads, opt, lr)
+        new_relation, new_r_moms = apply_row_updates(
+            relation, r_moms, rels, reg_r, opt, lr,
+            lr_scale=relation_lr_multiplier)
+        new_state = {"tables": (new_entity, new_relation),
+                     "moments": (new_e_moms, new_r_moms)}
+        return new_state, jnp.mean(sample_loss)
+
+    return step
+
+
+def kg_predict(model, entity, relation, heads, tails, rels, margin_or_l3):
+    return model.score(entity[heads], entity[tails], relation[rels], margin_or_l3)
+
+
+# ---------------------------------------------------------------------------
+# visualization / LargeVis (single shared coordinate table;
+# ref gpu/visualization.cuh)
+# ---------------------------------------------------------------------------
+
+def make_vis_train_step(model, opt: Optimizer, num_negative: int,
+                        negative_weight: float):
+    SMOOTH = 0.1  # gpu/visualization.cuh:29
+
+    def step(state, heads, tails, key, lr, neg_prob, neg_alias):
+        (coord,) = state["tables"]
+        (moms,) = state["moments"]
+        b = heads.shape[0]
+        k = num_negative
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (b, k))
+        u2 = jax.random.uniform(k2, (b, k))
+        negs = device_sample(neg_prob, neg_alias, u1, u2)
+
+        h = coord[heads][:, None, :]                         # [B, 1, D]
+        t_ids = jnp.concatenate([negs, tails[:, None]], axis=1)
+        t = coord[t_ids]                                     # [B, K+1, D]
+        x = model.score(h, t)                                # [B, K+1]
+        prob = 1.0 / (1.0 + x)
+        is_pos = jnp.concatenate(
+            [jnp.zeros((b, k), x.dtype), jnp.ones((b, 1), x.dtype)], axis=1)
+        gradient = jnp.where(is_pos > 0, 2.0 * prob,
+                             -2.0 * prob / (x + SMOOTH))
+        weight = jnp.where(is_pos > 0, 1.0, negative_weight).astype(x.dtype)
+        loss = jnp.where(is_pos > 0,
+                         -jnp.log(prob + EPSILON),
+                         -jnp.log(1.0 - prob + EPSILON))
+        sample_loss = jnp.sum(weight * loss, axis=-1) / (1.0 + k * negative_weight)
+
+        gh, gt = model.backward(h, t, gradient)
+        w = weight[..., None]
+        wd = opt.weight_decay
+        reg_h = jnp.sum(w * gh, axis=1) + \
+            (jnp.sum(weight, axis=-1)[:, None] * wd) * h[:, 0, :]
+        reg_t = w * (gt + wd * t)
+        ids = jnp.concatenate([heads, t_ids.reshape(-1)])
+        grads = jnp.concatenate([reg_h, reg_t.reshape(b * (k + 1), -1)])
+        new_coord, new_moms = apply_row_updates(coord, moms, ids, grads, opt, lr)
+        return ({"tables": (new_coord,), "moments": (new_moms,)},
+                jnp.mean(sample_loss))
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# scan-over-pool wrapper: one device call trains many batches
+# ---------------------------------------------------------------------------
+
+def make_pool_runner(step_fn, num_batch_total: int, opt: Optimizer,
+                     has_relation: bool = False, uses_alias_negatives: bool = True):
+    """Compile a function running `step_fn` over a pool of stacked batches.
+
+    pool layout: ids [N, B] arrays. batch_id0 is the global batch counter for
+    the LR schedule (solver.h:607: lr = init_lr * schedule(batch_id, num_batch)).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=())
+    def run_pool(state, pool, batch_id0, base_key, *sampler_state):
+        def body(carry, xs):
+            st, i = carry
+            lr = opt.schedule_lr(batch_id0 + i, num_batch_total)
+            key = jax.random.fold_in(base_key, i)
+            if has_relation:
+                heads, tails, rels = xs
+                new_st, loss = step_fn(st, heads, tails, rels, key, lr,
+                                       *sampler_state)
+            else:
+                heads, tails = xs
+                new_st, loss = step_fn(st, heads, tails, key, lr,
+                                       *sampler_state)
+            return (new_st, i + 1), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, jnp.int32(0)), pool)
+        return state, losses
+
+    return run_pool

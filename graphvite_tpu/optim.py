@@ -1,0 +1,223 @@
+"""Row-sparse first-order optimizers.
+
+Functional re-design of the reference Optimizer class
+(include/core/optimizer.h:102-217). The reference applies updates per
+(sample, row)-touch inside hogwild CUDA kernels; here a jitted batched step
+computes per-touch regularized gradients
+
+    reg = weight * (model_grad + weight_decay * param)
+
+and applies them row-wise:
+
+* 0-moment (SGD): scatter-add of ``-lr * reg`` — duplicate row touches within
+  a batch accumulate (the "gradient accumulation" semantics the reference
+  adopted in v0.2.0, CHANGELOG.md:27-28).
+* 1/2-moment (Momentum/AdaGrad/RMSprop/Adam): duplicate touches are summed per
+  unique row (sort + segment-sum with static shapes), then ONE moment update
+  is applied per touched row — moments update only on touch, exactly like the
+  reference's sparse per-row moments (solver.h moment buffers).
+
+Update rules mirror optimizer.h:161-210 exactly, including GraphVite's
+unusual Adam defaults (beta1=0.999, beta2=0.99999, no bias correction).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphvite_tpu.utils.common import auto
+
+OPTIMIZER_MOMENTS = {
+    "SGD": 0,
+    "Momentum": 1,
+    "AdaGrad": 1,
+    "RMSprop": 1,
+    "Adam": 2,
+}
+
+
+def linear_schedule(batch_id, num_batch):
+    """lr multiplier; ref optimizer.h:77-79."""
+    return jnp.maximum(1.0 - batch_id / num_batch, 1e-4)
+
+
+def constant_schedule(batch_id, num_batch):
+    return jnp.ones_like(jnp.asarray(batch_id, dtype=jnp.float32))
+
+
+SCHEDULES = {"linear": linear_schedule, "constant": constant_schedule}
+
+
+@dataclasses.dataclass(frozen=True)
+class Optimizer:
+    """Static optimizer hyperparameters (hashable => usable as jit static arg)."""
+
+    type: str = "SGD"
+    lr: float = 0.025
+    weight_decay: float = 0.0
+    schedule: str = "linear"
+    # per-type extras (union-style, like the reference's anonymous union)
+    momentum: float = 0.999
+    alpha: float = 0.999  # RMSprop
+    beta1: float = 0.999  # Adam (GraphVite default, optimizer.h:312)
+    beta2: float = 0.99999
+    epsilon: float = 1e-8
+
+    def __post_init__(self):
+        if self.type not in OPTIMIZER_MOMENTS:
+            raise ValueError("Unknown optimizer `%s`" % self.type)
+        if self.schedule not in SCHEDULES:
+            raise ValueError("Invalid schedule `%s`" % self.schedule)
+
+    @property
+    def num_moment(self) -> int:
+        return OPTIMIZER_MOMENTS[self.type]
+
+    def schedule_lr(self, batch_id, num_batch):
+        return self.lr * SCHEDULES[self.schedule](batch_id, num_batch)
+
+    def init_moments(self, shape, dtype=jnp.float32):
+        """Allocate zero moment tables for a parameter table of `shape`."""
+        return tuple(jnp.zeros(shape, dtype) for _ in range(self.num_moment))
+
+    def info(self):
+        s = "optimizer: %s\nlearning rate: %g, lr schedule: %s\nweight decay: %g" % (
+            self.type, self.lr, self.schedule, self.weight_decay)
+        if self.type == "Momentum":
+            s += "\nmomentum: %g" % self.momentum
+        if self.type in ("AdaGrad", "RMSprop"):
+            s += "\nepsilon: %g" % self.epsilon
+        if self.type == "RMSprop":
+            s += "\nalpha: %g" % self.alpha
+        if self.type == "Adam":
+            s += "\nbeta1: %g, beta2: %g, epsilon: %g" % (self.beta1, self.beta2, self.epsilon)
+        return s
+
+
+def make_optimizer(spec, default: Optional[Optimizer] = None, **kwargs) -> Optimizer:
+    """Resolve user input (auto | float lr | name | Optimizer) to an Optimizer."""
+    if isinstance(spec, Optimizer):
+        return spec
+    if spec is None or (isinstance(spec, (int, float)) and spec == auto and not isinstance(spec, bool)):
+        if default is None:
+            raise ValueError("no default optimizer available")
+        return default
+    if isinstance(spec, (int, float)):
+        base = default if default is not None else Optimizer()
+        return dataclasses.replace(base, lr=float(spec), **kwargs)
+    if isinstance(spec, str):
+        base = default if default is not None else Optimizer()
+        lr = kwargs.pop("lr", base.lr)
+        wd = kwargs.pop("weight_decay", base.weight_decay)
+        return Optimizer(type=spec, lr=lr, weight_decay=wd, **kwargs)
+    if isinstance(spec, dict):
+        spec = dict(spec)
+        name = spec.pop("type", default.type if default else "SGD")
+        base = default if default is not None else Optimizer()
+        merged = {"lr": base.lr, "weight_decay": base.weight_decay, "schedule": base.schedule}
+        merged.update(spec)
+        merged.update(kwargs)
+        merged = {k: v for k, v in merged.items() if v != auto or k == "weight_decay"}
+        return Optimizer(type=name, **merged)
+    raise TypeError("cannot build an optimizer from %r" % (spec,))
+
+
+# ---------------------------------------------------------------------------
+# moment update rules (per unique row; g = summed regularized gradient)
+# ---------------------------------------------------------------------------
+
+def _sgd_delta(opt, lr, g):
+    return lr * g, ()
+
+
+def _momentum_delta(opt, lr, g, m1):
+    new_m1 = opt.momentum * m1 + (1 - opt.momentum) * g
+    return lr * new_m1, (new_m1,)
+
+
+def _adagrad_delta(opt, lr, g, m1):
+    new_m1 = m1 + g * g
+    return lr * g / (jnp.sqrt(new_m1) + opt.epsilon), (new_m1,)
+
+
+def _rmsprop_delta(opt, lr, g, m1):
+    new_m1 = opt.alpha * m1 + (1 - opt.alpha) * g * g
+    return lr * g / jnp.sqrt(new_m1 + opt.epsilon), (new_m1,)
+
+
+def _adam_delta(opt, lr, g, m1, m2):
+    new_m1 = opt.beta1 * m1 + (1 - opt.beta1) * g
+    new_m2 = opt.beta2 * m2 + (1 - opt.beta2) * g * g
+    return lr * new_m1 / (jnp.sqrt(new_m2) + opt.epsilon), (new_m1, new_m2)
+
+
+def moment_delta(opt: Optimizer, lr, g, moments):
+    """delta such that param_new = param - lr_scale * delta; also new moments."""
+    if opt.type == "SGD":
+        return _sgd_delta(opt, lr, g)
+    if opt.type == "Momentum":
+        return _momentum_delta(opt, lr, g, *moments)
+    if opt.type == "AdaGrad":
+        return _adagrad_delta(opt, lr, g, *moments)
+    if opt.type == "RMSprop":
+        return _rmsprop_delta(opt, lr, g, *moments)
+    if opt.type == "Adam":
+        return _adam_delta(opt, lr, g, *moments)
+    raise ValueError(opt.type)
+
+
+# ---------------------------------------------------------------------------
+# row-sparse application with duplicate accumulation
+# ---------------------------------------------------------------------------
+
+def dedup_rows(ids, grads):
+    """Sum `grads` over duplicate `ids` with static shapes.
+
+    Returns (uids, gsum) both of length len(ids); slots beyond the number of
+    unique ids carry uid == num_rows-sentinel (ids.max+1 won't do — we use a
+    huge value) and zero grads, and are dropped by scatter mode='drop'.
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    sg = grads[order]
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(head) - 1  # segment index of each touch
+    gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
+    sentinel = jnp.iinfo(jnp.int32).max
+    uids = jnp.full((n,), sentinel, dtype=sid.dtype).at[seg].set(sid)
+    return uids, gsum
+
+
+def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
+                      lr_scale=1.0):
+    """Apply optimizer updates for per-touch regularized gradients.
+
+    table:      [V, D] parameter table
+    moments:    tuple of [V, D] moment tables (len == opt.num_moment)
+    ids:        [N] int32 row ids (duplicates allowed)
+    reg_grads:  [N, D] per-touch regularized gradients (weight already applied)
+    lr:         scheduled learning rate (traced scalar)
+    lr_scale:   extra multiplier on the applied delta only (relation_lr_multiplier;
+                moments integrate the unscaled gradient, matching the reference
+                `relation -= relation_lr_multiplier * update(...)`).
+    """
+    if opt.num_moment == 0:
+        # pure scatter-add; duplicates accumulate natively
+        delta = (lr * lr_scale) * reg_grads
+        return table.at[ids].add(-delta.astype(table.dtype)), moments
+
+    uids, gsum = dedup_rows(ids, reg_grads)
+    cuids = jnp.minimum(uids, table.shape[0] - 1)  # safe gather; scatter drops
+    mrows = tuple(m[cuids] for m in moments)
+    delta, new_mrows = moment_delta(opt, lr, gsum, mrows)
+    new_table = table.at[uids].add(-(lr_scale * delta).astype(table.dtype), mode="drop")
+    new_moments = tuple(
+        m.at[uids].set(nm.astype(m.dtype), mode="drop")
+        for m, nm in zip(moments, new_mrows)
+    )
+    return new_table, new_moments

@@ -1,0 +1,405 @@
+"""Training solvers: the TPU re-design of the reference SolverMixin
+(include/core/solver.h:87-888) and its per-application subclasses
+(GraphSolver graph.cuh:586-813, KnowledgeGraphSolver
+knowledge_graph.cuh:511-678, VisualizationSolver visualization.cuh:417-596).
+
+Where the reference stages partition blocks between CPU RAM and GPU HBM under
+an episode schedule, embedding tables here live HBM-resident for the whole
+run (sharded over a device mesh when one is configured); an "episode" is one
+device call scanning over a pool of batches while the host sampler prefetches
+the next pool on a background thread.
+"""
+from __future__ import annotations
+
+import math
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphvite_tpu.graph import Graph, KnowledgeGraph
+from graphvite_tpu.models import GRAPH_MODELS, KG_MODELS, LargeVis
+from graphvite_tpu.optim import Optimizer, make_optimizer
+from graphvite_tpu.ops.alias import AliasTable, device_alias_arrays
+from graphvite_tpu.ops import steps as _steps
+from graphvite_tpu.sampler import (EdgeSampler, RandomWalkSampler,
+                                   PrefetchingPool)
+from graphvite_tpu.utils.common import auto, logger
+
+EXPECTED_DEGREE = 1600  # graph.cuh:55, used by the augmentation auto-rule
+
+
+class SolverBase:
+    """Shared machinery: build/train/predict plumbing over a state pytree
+    {"tables": (...), "moments": (...)}."""
+
+    def __init__(self, dim, float_type=np.float32, index_type=np.int32,
+                 device_ids=None, num_sampler_per_worker=auto,
+                 gpu_memory_limit=auto, seed=1024):
+        # device_ids / memory limits are accepted for API parity with the
+        # reference; placement is managed by JAX (single chip or mesh).
+        self.dim = int(dim)
+        self.float_type = np.dtype(float_type)
+        self.index_type = np.dtype(index_type)
+        self.seed = seed
+        self.graph = None
+        self.model = None
+        self.state = None
+        self.optimizer = None
+        self.num_negative = 1
+        self.batch_size = 100000
+        self.episode_size = auto
+        self.batch_id = 0
+        self.num_batch = 0
+        self._rng = np.random.default_rng(seed)
+
+    # -- per-application hooks ---------------------------------------------
+    def get_default_optimizer(self) -> Optimizer:
+        raise NotImplementedError
+
+    def get_available_models(self):
+        raise NotImplementedError
+
+    def _table_shapes(self):
+        raise NotImplementedError
+
+    def init_embeddings(self):
+        raise NotImplementedError
+
+    # -- build ---------------------------------------------------------------
+    def build(self, graph, optimizer=auto, num_partition=auto, num_negative=1,
+              batch_size=100000, episode_size=auto):
+        """Allocate embedding/moment tables. `num_partition` is accepted for
+        parity; HBM-resident tables need no partition staging."""
+        self.graph = graph
+        self.optimizer = make_optimizer(optimizer, self.get_default_optimizer())
+        self.num_negative = int(num_negative)
+        self.batch_size = int(batch_size)
+        self.episode_size = episode_size
+        self._allocate()
+        return self
+
+    def _allocate(self):
+        shapes = self._table_shapes()
+        tables = tuple(jnp.zeros(s, dtype=self.float_type.name) for s in shapes)
+        moments = tuple(self.optimizer.init_moments(s, self.float_type.name)
+                        for s in shapes)
+        self.state = {"tables": tables, "moments": moments}
+
+    # -- training loop -------------------------------------------------------
+    def _episode_batches(self):
+        if self.episode_size not in (auto, None):
+            return max(int(self.episode_size), 1)
+        # enough batches per device call to amortize dispatch, bounded by the
+        # run length; ref auto-rule is kSamplePerVertex-based (solver.h:426-436)
+        per_vertex = max(175 * self.graph.num_vertex // self.batch_size, 1)
+        return int(min(max(per_vertex, 8), 1000, max(self.num_batch, 1)))
+
+    def _train_loop(self, step_fn, sampler, has_relation, sampler_state,
+                    num_epoch, positive_reuse, log_frequency):
+        num_edge = self.graph.num_edge
+        self.num_batch = int(num_epoch * num_edge // self.batch_size)
+        if self.num_batch == 0:
+            self.num_batch = 1
+        ep_batches = self._episode_batches()
+        pool_positives = ep_batches * self.batch_size
+        runner = _steps.make_pool_runner(step_fn, self.num_batch,
+                                         self.optimizer, has_relation)
+        prefetch = PrefetchingPool(sampler, pool_positives)
+        key = jax.random.PRNGKey(self.seed + self.batch_id)
+        logger.info("training %s: %d batches of %d (episodes of %d batches)",
+                    self.model, self.num_batch, self.batch_size, ep_batches)
+        try:
+            losses_acc = []
+            next_log = log_frequency
+            while self.batch_id < self.num_batch:
+                pool = prefetch.next()
+                arrays = [jnp.asarray(a.reshape(ep_batches, self.batch_size))
+                          for a in pool]
+                if positive_reuse > 1:
+                    arrays = [jnp.repeat(a, positive_reuse, axis=0)
+                              for a in arrays]
+                key, sub = jax.random.split(key)
+                self.state, losses = runner(self.state, tuple(arrays),
+                                            jnp.int32(self.batch_id), sub,
+                                            *sampler_state)
+                n_run = ep_batches * positive_reuse
+                self.batch_id += n_run
+                losses_acc.append(losses)
+                if self.batch_id >= next_log or self.batch_id >= self.num_batch:
+                    mean_loss = float(jnp.mean(jnp.concatenate(losses_acc)))
+                    logger.info("Batch id: %d / %d, loss = %.6g",
+                                min(self.batch_id, self.num_batch),
+                                self.num_batch, mean_loss)
+                    losses_acc = []
+                    next_log = self.batch_id + log_frequency
+        finally:
+            prefetch.close()
+        # block until the device state is materialized
+        jax.block_until_ready(self.state["tables"])
+
+    # -- persistence ---------------------------------------------------------
+    def table(self, i):
+        return np.asarray(self.state["tables"][i])
+
+    def clear(self):
+        self.state = None
+
+    def __repr__(self):
+        return "%s<dim=%d, %s>" % (type(self).__name__, self.dim,
+                                   self.float_type.name)
+
+
+class GraphSolver(SolverBase):
+    """Node-embedding solver (ref graph.cuh:586-813)."""
+
+    def get_default_optimizer(self):
+        # ref graph.cuh:634-636
+        return Optimizer(type="SGD", lr=0.025, weight_decay=5e-3, schedule="linear")
+
+    def get_available_models(self):
+        return set(GRAPH_MODELS)
+
+    def _table_shapes(self):
+        v = self.graph.num_vertex
+        return ((v, self.dim), (v, self.dim))
+
+    def init_embeddings(self):
+        """vertex ~ U(-0.5/dim, 0.5/dim), context = 0 (graph.cuh:724-731)."""
+        v = self.graph.num_vertex
+        vertex = self._rng.uniform(-0.5 / self.dim, 0.5 / self.dim,
+                                   (v, self.dim)).astype(self.float_type)
+        tables = (jnp.asarray(vertex),
+                  jnp.zeros((v, self.dim), dtype=self.float_type.name))
+        moments = tuple(self.optimizer.init_moments((v, self.dim),
+                                                    self.float_type.name)
+                        for _ in range(2))
+        self.state = {"tables": tables, "moments": moments}
+
+    @property
+    def vertex_embeddings(self):
+        return self.table(0)
+
+    @property
+    def context_embeddings(self):
+        return self.table(1)
+
+    def train(self, model="LINE", num_epoch=2000, resume=False,
+              augmentation_step=auto, random_walk_length=40,
+              random_walk_batch_size=100, shuffle_base=auto, p=1.0, q=1.0,
+              positive_reuse=1, negative_sample_exponent=0.75,
+              negative_weight=5.0, log_frequency=1000):
+        if model not in self.get_available_models():
+            raise ValueError("unknown model `%s`" % model)
+        self.model = model
+        if not resume or self.state is None or self.batch_id == 0:
+            self.init_embeddings()
+            self.batch_id = 0
+
+        num_vertex = self.graph.num_vertex
+        num_edge = self.graph.num_edge
+        if augmentation_step in (auto, None):
+            avg_degree = max(float(num_edge) / num_vertex, 1.0 + 1e-6)
+            augmentation_step = max(
+                int(math.log(EXPECTED_DEGREE) / math.log(avg_degree)), 1)
+        augmentation_step = int(augmentation_step)
+        if shuffle_base in (auto, None):
+            shuffle_base = augmentation_step
+        if model in ("DeepWalk", "node2vec"):
+            shuffle_base = 1  # graph.cuh:784-786
+        if augmentation_step > random_walk_length:
+            raise ValueError("`random_walk_length` must be >= `augmentation_step`")
+        self.augmentation_step = augmentation_step
+
+        # negative sampler: tail-side, degree^exponent (solver.h:1264-1278)
+        weights = np.asarray(self.graph.vertex_weights, dtype=np.float64)
+        weights = np.maximum(weights, 1e-12) ** negative_sample_exponent
+        neg_table = AliasTable(weights)
+        neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
+
+        if augmentation_step == 1:
+            sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))
+        else:
+            sampler = RandomWalkSampler(
+                self.graph, augmentation_step, random_walk_length,
+                random_walk_batch_size, shuffle_base,
+                seed=int(self._rng.integers(2**31)),
+                biased=(model == "node2vec"), p=p, q=q)
+
+        step_fn = _steps.make_graph_train_step(
+            GRAPH_MODELS[model], self.optimizer, self.num_negative,
+            float(negative_weight))
+        self._train_loop(step_fn, sampler, False, neg_state, num_epoch,
+                         positive_reuse, log_frequency)
+
+    def predict(self, heads, tails=None):
+        """Score (head, tail) pairs; accepts an (n, 2) array or two arrays."""
+        if tails is None:
+            arr = np.asarray(heads)
+            heads, tails = arr[:, 0], arr[:, 1]
+        model = GRAPH_MODELS[self.model or "LINE"]
+        fn = jax.jit(lambda v, c, h, t: _steps.graph_predict(model, v, c, h, t))
+        return np.asarray(fn(self.state["tables"][0], self.state["tables"][1],
+                             jnp.asarray(heads, jnp.int32),
+                             jnp.asarray(tails, jnp.int32)))
+
+    def save_embeddings(self, file_name):
+        """word2vec text+binary format (graph.cuh:796-805)."""
+        emb = self.vertex_embeddings
+        with open(file_name, "wb") as f:
+            f.write(("%d %d\n" % (self.graph.num_vertex, self.dim)).encode())
+            for i in range(self.graph.num_vertex):
+                f.write((self.graph.id2name[i] + " ").encode())
+                f.write(emb[i].astype(np.float32).tobytes())
+                f.write(b"\n")
+
+
+class KnowledgeGraphSolver(SolverBase):
+    """KG-embedding solver (ref knowledge_graph.cuh:511-678). The entity
+    table is shared between head and tail roles (tied weights); relations are
+    a separate table."""
+
+    def get_default_optimizer(self):
+        # ref knowledge_graph.cuh:556-558
+        return Optimizer(type="Adam", lr=5e-5, weight_decay=0.0, schedule="linear")
+
+    def get_available_models(self):
+        return set(KG_MODELS)
+
+    def _table_shapes(self):
+        return ((self.graph.num_vertex, self.dim),
+                (self.graph.num_relation, self.dim))
+
+    @property
+    def entity_embeddings(self):
+        return self.table(0)
+
+    @property
+    def relation_embeddings(self):
+        return self.table(1)
+
+    def init_embeddings(self, margin=12.0):
+        """Per-model init schemes (knowledge_graph.cuh:567-621)."""
+        ne, nr, d = self.graph.num_vertex, self.graph.num_relation, self.dim
+        rng = self._rng
+        if self.model == "TransE":
+            ent = rng.uniform(-margin / d, margin / d, (ne, d))
+            rel = rng.uniform(-margin / d, margin / d, (nr, d))
+        elif self.model in ("DistMult", "ComplEx", "SimplE"):
+            ent = rng.uniform(-0.5, 0.5, (ne, d))
+            rel = rng.uniform(-0.5, 0.5, (nr, d))
+        elif self.model == "RotatE":
+            ent = rng.uniform(-margin * 2 / d, margin * 2 / d, (ne, d))
+            rel = np.zeros((nr, d))
+            rel[:, : d // 2] = rng.uniform(-np.pi, np.pi, (nr, d // 2))
+        elif self.model == "QuatE":
+            def quat_init(n):
+                m = rng.uniform(-1 / math.sqrt(d / 2), 1 / math.sqrt(d / 2),
+                                (n, d // 4))
+                phase = rng.uniform(-np.pi, np.pi, (n, d // 4))
+                v = rng.uniform(0, 1, (n, d // 4, 3))
+                v /= np.linalg.norm(v, axis=-1, keepdims=True) + 1e-15
+                out = np.empty((n, d // 4, 4))
+                out[..., 0] = m * np.cos(phase)
+                out[..., 1] = m * v[..., 0] * np.sin(phase)
+                out[..., 2] = m * v[..., 1] * np.sin(phase)
+                out[..., 3] = m * v[..., 2] * np.sin(phase)
+                return out.reshape(n, d)
+            ent = quat_init(ne)
+            rel = quat_init(nr)
+        else:
+            raise ValueError(self.model)
+        tables = (jnp.asarray(ent.astype(self.float_type)),
+                  jnp.asarray(rel.astype(self.float_type)))
+        moments = (self.optimizer.init_moments((ne, d), self.float_type.name),
+                   self.optimizer.init_moments((nr, d), self.float_type.name))
+        self.state = {"tables": tables, "moments": moments}
+
+    def train(self, model="RotatE", num_epoch=2000, resume=False,
+              relation_lr_multiplier=1.0, margin=12.0, l3_regularization=2e-3,
+              sample_batch_size=2000, positive_reuse=1,
+              adversarial_temperature=2.0, log_frequency=100):
+        if model not in self.get_available_models():
+            raise ValueError("unknown model `%s`" % model)
+        self.model = model
+        self.margin = float(margin)
+        self.l3_regularization = float(l3_regularization)
+        self.adversarial_temperature = float(adversarial_temperature)
+        if not resume or self.state is None or self.batch_id == 0:
+            self.init_embeddings(margin=margin)
+            self.batch_id = 0
+
+        mdl = KG_MODELS[model]
+        margin_or_l3 = self.margin if mdl.uses_margin else self.l3_regularization
+        sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)),
+                              with_relation=True)
+        step_fn = _steps.make_kg_train_step(
+            mdl, self.optimizer, self.num_negative, margin_or_l3,
+            self.adversarial_temperature, float(relation_lr_multiplier))
+        self._train_loop(step_fn, sampler, True, (), num_epoch,
+                         positive_reuse, log_frequency)
+
+    def predict(self, samples):
+        """samples: (n, 3) array of (head, tail, relation) ids -> logits."""
+        arr = np.asarray(samples)
+        mdl = KG_MODELS[self.model]
+        margin_or_l3 = self.margin if mdl.uses_margin else self.l3_regularization
+        fn = jax.jit(lambda e, r, h, t, rr: _steps.kg_predict(
+            mdl, e, r, h, t, rr, margin_or_l3))
+        out = []
+        chunk = 1 << 20
+        for i in range(0, arr.shape[0], chunk):
+            part = arr[i:i + chunk]
+            out.append(np.asarray(fn(self.state["tables"][0],
+                                     self.state["tables"][1],
+                                     jnp.asarray(part[:, 0], jnp.int32),
+                                     jnp.asarray(part[:, 1], jnp.int32),
+                                     jnp.asarray(part[:, 2], jnp.int32))))
+        return np.concatenate(out)
+
+
+class VisualizationSolver(SolverBase):
+    """LargeVis solver (ref visualization.cuh:417-596): a single coordinate
+    table serves both head and tail roles."""
+
+    def get_default_optimizer(self):
+        # ref visualization.cuh:554-556
+        return Optimizer(type="Adam", lr=0.5, weight_decay=1e-5, schedule="linear")
+
+    def get_available_models(self):
+        return {"LargeVis"}
+
+    def _table_shapes(self):
+        return ((self.graph.num_vertex, self.dim),)
+
+    def init_embeddings(self):
+        """coord ~ U(-5e-5/dim, 5e-5/dim) (visualization.cuh:563-569)."""
+        v = self.graph.num_vertex
+        coord = self._rng.uniform(-5e-5 / self.dim, 5e-5 / self.dim,
+                                  (v, self.dim)).astype(self.float_type)
+        self.state = {"tables": (jnp.asarray(coord),),
+                      "moments": (self.optimizer.init_moments(
+                          (v, self.dim), self.float_type.name),)}
+
+    @property
+    def coordinates(self):
+        return self.table(0)
+
+    def train(self, model="LargeVis", num_epoch=50, resume=False,
+              sample_batch_size=2000, positive_reuse=5,
+              negative_sample_exponent=0.75, negative_weight=5.0,
+              log_frequency=1000):
+        self.model = "LargeVis"
+        if not resume or self.state is None or self.batch_id == 0:
+            self.init_embeddings()
+            self.batch_id = 0
+        weights = np.asarray(self.graph.vertex_weights, dtype=np.float64)
+        weights = np.maximum(weights, 1e-12) ** negative_sample_exponent
+        neg_table = AliasTable(weights)
+        neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
+        sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))
+        step_fn = _steps.make_vis_train_step(
+            LargeVis, self.optimizer, self.num_negative, float(negative_weight))
+        self._train_loop(step_fn, sampler, False, neg_state, num_epoch,
+                         positive_reuse, log_frequency)

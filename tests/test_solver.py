@@ -1,0 +1,114 @@
+"""End-to-end training smoke tests on tiny synthetic graphs."""
+import numpy as np
+import pytest
+
+from graphvite_tpu.graph import Graph, KnowledgeGraph
+from graphvite_tpu.solver import (GraphSolver, KnowledgeGraphSolver,
+                                  VisualizationSolver)
+
+
+def two_blocks(n=60, seed=0):
+    """Two dense communities, sparse cross links."""
+    rng = np.random.default_rng(seed)
+    edges = []
+    half = n // 2
+    for _ in range(n * 6):
+        c = rng.integers(2)
+        u = rng.integers(half) + c * half
+        v = rng.integers(half) + c * half
+        if u != v:
+            edges.append((str(u), str(v)))
+    for _ in range(n // 10):
+        edges.append((str(rng.integers(half)), str(rng.integers(half) + half)))
+    return Graph().load_edge_list(edges, as_undirected=True)
+
+
+def auc(scores, labels):
+    order = np.argsort(-scores)
+    y = np.asarray(labels)[order]
+    hit = np.cumsum(y)
+    denom = (y == 0).sum() * (y == 1).sum()
+    return hit[y == 0].sum() / denom
+
+
+def test_line_learns_edges():
+    g = two_blocks()
+    solver = GraphSolver(dim=16)
+    solver.build(g, num_negative=1, batch_size=512, episode_size=8)
+    solver.train(model="LINE", num_epoch=600, augmentation_step=1,
+                 negative_weight=1.0, log_frequency=10000)
+    rng = np.random.default_rng(1)
+    half = g.num_vertex // 2
+    # positives: real edges; negatives: random cross-block pairs
+    k = min(300, g.num_directed_edge)
+    sel = rng.choice(g.num_directed_edge, size=k, replace=False)
+    pos = np.stack([g.edge_heads[sel], g.edge_tails[sel]], axis=1)
+    neg = np.stack([rng.integers(half, size=k),
+                    rng.integers(half, size=k) + half], axis=1)
+    pairs = np.concatenate([pos, neg])
+    scores = solver.predict(pairs)
+    labels = np.array([1] * k + [0] * k)
+    assert auc(scores, labels) > 0.9
+
+
+def test_deepwalk_runs():
+    g = two_blocks(40)
+    solver = GraphSolver(dim=8)
+    solver.build(g, num_negative=1, batch_size=256, episode_size=4)
+    solver.train(model="DeepWalk", num_epoch=40, augmentation_step=2,
+                 random_walk_length=6, log_frequency=10000)
+    assert np.isfinite(solver.vertex_embeddings).all()
+    assert np.abs(solver.context_embeddings).sum() > 0
+
+
+def math_triplets(n_ent=41, seed=0):
+    """Tiny synthetic KG like the reference's Math dataset (dataset.py:562):
+    y = x + c (mod n) relations."""
+    triplets = []
+    for c in (1, 2, 3):
+        for x in range(n_ent):
+            triplets.append((str(x), "add%d" % c, str((x + c) % n_ent)))
+    return KnowledgeGraph().load_triplet_list(triplets)
+
+
+@pytest.mark.parametrize("model", ["TransE", "RotatE", "DistMult", "ComplEx",
+                                   "SimplE", "QuatE"])
+def test_kg_models_run(model):
+    kg = math_triplets()
+    solver = KnowledgeGraphSolver(dim=16)
+    solver.build(kg, num_negative=4, batch_size=64, episode_size=4)
+    solver.train(model=model, num_epoch=20, log_frequency=10000)
+    ent = solver.entity_embeddings
+    rel = solver.relation_embeddings
+    assert np.isfinite(ent).all() and np.isfinite(rel).all()
+    # scoring works
+    scores = solver.predict(np.array([[0, 1, 0], [0, 2, 0]]))
+    assert scores.shape == (2,) and np.isfinite(scores).all()
+
+
+def test_kg_transe_learns():
+    kg = math_triplets()
+    solver = KnowledgeGraphSolver(dim=32)
+    solver.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+                 batch_size=128, episode_size=8)
+    solver.train(model="TransE", num_epoch=800, margin=4.0,
+                 adversarial_temperature=2.0, log_frequency=10000)
+    # true triplets should outscore corrupted ones
+    h = np.arange(40)
+    true = np.stack([h, (h + 1) % 41, np.zeros(40, int)], axis=1)
+    fake = np.stack([h, (h + 17) % 41, np.zeros(40, int)], axis=1)
+    s_true = solver.predict(true)
+    s_fake = solver.predict(fake)
+    assert (s_true > s_fake).mean() > 0.8
+
+
+def test_visualization_runs():
+    g = two_blocks(40)
+    solver = VisualizationSolver(dim=2)
+    solver.build(g, num_negative=5, batch_size=256, episode_size=4)
+    solver.train(num_epoch=30, log_frequency=10000)
+    coords = solver.coordinates
+    assert coords.shape == (g.num_vertex, 2)
+    assert np.isfinite(coords).all()
+    # layout should spread out from the tiny init box
+    assert np.abs(coords).max() > 1e-3
