@@ -1,9 +1,16 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
-# without TPU hardware (SURVEY.md §4).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# without TPU hardware (SURVEY.md §4). The environment's sitecustomize
+# force-registers the axon TPU backend and sets jax_platforms="axon,cpu"
+# before any of our code runs, so the env-var route is dead — override the
+# config directly before any backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
