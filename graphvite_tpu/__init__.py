@@ -9,6 +9,29 @@ feeding HBM-resident sharded embedding tables.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: episode executables take ~1 min to
+    compile through a remote-compile TPU tunnel; caching makes every run
+    after the first start instantly. Opt out with GRAPHVITE_TPU_NO_CACHE=1."""
+    if _os.environ.get("GRAPHVITE_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            "GRAPHVITE_TPU_CACHE_DIR",
+            _os.path.expanduser("~/.cache/graphvite_tpu/jax"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from graphvite_tpu.utils.common import auto
 from graphvite_tpu.graph import Graph, KnowledgeGraph
 from graphvite_tpu.optim import Optimizer, make_optimizer

@@ -15,8 +15,11 @@ import numpy as np
 
 from graphvite_tpu.utils.common import logger
 
-try:  # optional native builder (see native/sampler.cpp); pure-numpy fallback below
-    from graphvite_tpu.ops import _native
+try:  # native builder (graphvite_tpu/native/sampler.cpp via ctypes);
+    # pure-python fallback below
+    from graphvite_tpu import native as _native
+    if _native.lib is None:  # pragma: no cover
+        _native = None
 except Exception:  # pragma: no cover
     _native = None
 

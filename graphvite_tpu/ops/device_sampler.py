@@ -1,0 +1,284 @@
+"""On-device positive-sample generation (the TPU-native sampler).
+
+The reference burns CPU threads on alias-table walks because its GPUs are
+saturated by training kernels (include/core/solver.h:903-1146,
+instance/graph.cuh:283-451). On TPU the roles invert: sampling is a handful
+of tiny gathers, so positives are generated INSIDE the jitted train step
+from device-resident alias tables — zero host->device sample traffic, no
+host hot loop, and the whole episode (sample -> score -> update) is one
+fused XLA program.
+
+Statistical behavior preserved from the reference:
+* positive edges ~ alias table over global edge weights
+  (alias_table.cuh:148-152 decision rule);
+* DeepWalk/LINE walk augmentation: per-vertex alias tables over out-edge
+  weights, walks truncated at dead ends, every pair within
+  `augmentation_step` hops emitted (graph.cuh:376-450);
+* node2vec second-order bias via on-device rejection sampling (an exact
+  alternative to the reference's per-edge alias tables, graph.cuh:298-373,
+  which cost O(E * avg_degree) memory — the reason the reference OOMs on
+  large graphs, doc/source/benchmark.rst:59-61).
+
+All samplers return fixed-shape (heads, tails[, rels], mask) so the step
+stays statically shaped; dead-walk slots carry mask=0.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphvite_tpu.ops.alias import AliasTable, PackedAliasTables
+
+
+def _alias_pick(prob, alias, u1, u2):
+    """Walker alias decision (alias_table.cuh:148-152) on device arrays."""
+    n = prob.shape[0]
+    idx = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
+    return jnp.where(u2 < prob[idx], idx, alias[idx])
+
+
+@dataclasses.dataclass
+class DeviceEdgeSampler:
+    """Positive edges ~ alias(edge_weights); device-resident arrays."""
+
+    prob: jax.Array          # [E] f32
+    alias: jax.Array         # [E] i32
+    heads: jax.Array         # [E] i32
+    tails: jax.Array         # [E] i32
+    rels: Optional[jax.Array] = None   # [E] i32 (knowledge graphs)
+
+    @classmethod
+    def build(cls, graph, with_relation=False):
+        t = AliasTable(graph.edge_weights)
+        return cls(
+            prob=jnp.asarray(t.prob, jnp.float32),
+            alias=jnp.asarray(t.alias, jnp.int32),
+            heads=jnp.asarray(graph.edge_heads, jnp.int32),
+            tails=jnp.asarray(graph.edge_tails, jnp.int32),
+            rels=(jnp.asarray(graph.edge_relations, jnp.int32)
+                  if with_relation else None),
+        )
+
+    def arrays(self):
+        out = [self.prob, self.alias, self.heads, self.tails]
+        if self.rels is not None:
+            out.append(self.rels)
+        return tuple(out)
+
+    def make_sample_fn(self, batch_size: int):
+        with_rel = self.rels is not None
+
+        def sample(key, prob, alias, heads, tails, *rest):
+            k1, k2 = jax.random.split(key)
+            u1 = jax.random.uniform(k1, (batch_size,))
+            u2 = jax.random.uniform(k2, (batch_size,))
+            eid = _alias_pick(prob, alias, u1, u2)
+            h = heads[eid]
+            t = tails[eid]
+            mask = jnp.ones((batch_size,), jnp.float32)
+            if with_rel:
+                return h, t, rest[0][eid], mask
+            return h, t, mask
+
+        return sample
+
+
+@dataclasses.dataclass
+class DeviceWalkSampler:
+    """Random-walk augmented pairs, generated on device.
+
+    One batch: W walks of length L from alias-sampled start edges; emit all
+    pairs (v_j, v_{j+k}) for k = 1..aug with validity masks. W is chosen so
+    the emitted slot count >= batch_size; slots are truncated to exactly
+    batch_size (masked slots participate with weight 0, preserving the
+    effective batch statistics of graph.cuh:399-449).
+    """
+
+    edge_prob: jax.Array     # [E] f32   (walk start edges)
+    edge_alias: jax.Array    # [E] i32
+    heads: jax.Array         # [E] i32
+    tails: jax.Array         # [E] i32
+    indptr: jax.Array        # [V+1] i32 CSR
+    indices: jax.Array       # [Ed] i32
+    nbr_prob: jax.Array      # [Ed] f32  per-vertex packed alias (or empty)
+    nbr_alias: jax.Array     # [Ed] i32
+    uniform: bool
+    walk_length: int
+    augmentation_step: int
+    batch_size: int
+    num_walk: int
+    # node2vec rejection-sampling state (None => first-order walks)
+    p: float = 1.0
+    q: float = 1.0
+    biased: bool = False
+    edge_keys: Optional[jax.Array] = None   # [Ed] sorted h*V+t for membership
+    csr_weights: Optional[jax.Array] = None  # [Ed] f32 (biased only)
+
+    @classmethod
+    def build(cls, graph, augmentation_step, walk_length, batch_size,
+              biased=False, p=1.0, q=1.0):
+        t = AliasTable(graph.edge_weights)
+        w = np.asarray(graph.csr_weights, np.float64)
+        uniform = bool(w.size == 0 or np.all(w == w[0]))
+        if uniform:
+            nbr_prob = np.zeros(0, np.float32)
+            nbr_alias = np.zeros(0, np.int32)
+        else:
+            packed = PackedAliasTables(w, graph.indptr)
+            nbr_prob = packed.prob.astype(np.float32)
+            nbr_alias = packed.alias.astype(np.int32)
+        L, aug = int(walk_length), int(augmentation_step)
+        pairs_per_walk = sum(L + 1 - k for k in range(1, aug + 1))
+        num_walk = max(int(math.ceil(batch_size / pairs_per_walk)), 1)
+        kw = {}
+        if biased:
+            keys = np.sort(graph.edge_heads.astype(np.int64)
+                           * graph.num_vertex + graph.edge_tails)
+            kw = dict(biased=True, p=float(p), q=float(q),
+                      edge_keys=jnp.asarray(keys, jnp.int64),
+                      csr_weights=jnp.asarray(graph.csr_weights, jnp.float32))
+        return cls(
+            edge_prob=jnp.asarray(t.prob, jnp.float32),
+            edge_alias=jnp.asarray(t.alias, jnp.int32),
+            heads=jnp.asarray(graph.edge_heads, jnp.int32),
+            tails=jnp.asarray(graph.edge_tails, jnp.int32),
+            indptr=jnp.asarray(graph.indptr, jnp.int32),
+            indices=jnp.asarray(graph.indices, jnp.int32),
+            nbr_prob=jnp.asarray(nbr_prob),
+            nbr_alias=jnp.asarray(nbr_alias),
+            uniform=uniform,
+            walk_length=L, augmentation_step=aug,
+            batch_size=int(batch_size), num_walk=num_walk, **kw)
+
+    def arrays(self):
+        out = [self.edge_prob, self.edge_alias, self.heads, self.tails,
+               self.indptr, self.indices, self.nbr_prob, self.nbr_alias]
+        if self.biased:
+            out += [self.edge_keys, self.csr_weights]
+        return tuple(out)
+
+    def make_sample_fn(self, batch_size: int):
+        assert batch_size == self.batch_size
+        L = self.walk_length
+        aug = self.augmentation_step
+        W = self.num_walk
+        uniform = self.uniform
+        biased = self.biased
+        p, q = self.p, self.q
+        num_vertex_hint = None  # bound via indptr length inside
+
+        def step_neighbor(indptr, indices, nbr_prob, nbr_alias, v, u1, u2):
+            """First-order alias step from vertices v; returns (next, alive)."""
+            start = indptr[v]
+            deg = indptr[v + 1] - start
+            alive = deg > 0
+            safe_deg = jnp.maximum(deg, 1)
+            idx = jnp.minimum((u1 * safe_deg).astype(jnp.int32), safe_deg - 1)
+            flat = start + idx
+            if not uniform:
+                local = jnp.where(u2 < nbr_prob[flat], idx, nbr_alias[flat])
+                flat = start + local
+            nxt = indices[flat]
+            return jnp.where(alive, nxt, v), alive
+
+        def sample(key, edge_prob, edge_alias, heads, tails, indptr, indices,
+                   nbr_prob, nbr_alias, *rest):
+            kk = jax.random.split(key, 4)
+            u1 = jax.random.uniform(kk[0], (W,))
+            u2 = jax.random.uniform(kk[1], (W,))
+            eid = _alias_pick(edge_prob, edge_alias, u1, u2)
+            v0 = heads[eid]
+            v1 = tails[eid]
+
+            if not biased:
+                def walk_body(carry, xs):
+                    v, alive = carry
+                    w1, w2 = xs
+                    nxt, step_alive = step_neighbor(
+                        indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
+                    alive = alive & step_alive
+                    nxt = jnp.where(alive, nxt, v)
+                    return (nxt, alive), (nxt, alive)
+
+                ks = jax.random.split(kk[2], 2)
+                w1s = jax.random.uniform(ks[0], (L - 1, W))
+                w2s = jax.random.uniform(ks[1], (L - 1, W))
+                (_, _), (chain_rest, alive_rest) = jax.lax.scan(
+                    walk_body, (v1, jnp.ones_like(v1, jnp.bool_)),
+                    (w1s, w2s))
+            else:
+                num_vertex = indptr.shape[0] - 1
+                edge_keys, csr_w = rest
+
+                max_bias = max(1.0, 1.0 / p, 1.0 / q)
+
+                def walk_body(carry, step_key):
+                    v, prev, alive = carry
+
+                    # exact node2vec transition by rejection sampling:
+                    # propose a first-order alias step, accept with
+                    # bias(prev, x) / max_bias where bias is 1/p for the
+                    # return step, 1 for common neighbors, 1/q otherwise
+                    # (the reweighting of graph.cuh:663-672) — statistically
+                    # identical to the per-edge second-order alias tables
+                    # without their O(E * avg_degree) memory.
+                    def propose(state):
+                        nxt, accepted, k = state
+                        pk = jax.random.fold_in(step_key, k)
+                        w1, w2, racc = jax.random.uniform(pk, (3, W))
+                        cand, _ = step_neighbor(
+                            indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
+                        probe = cand.astype(jnp.int64) * num_vertex + prev
+                        pos = jnp.searchsorted(edge_keys, probe)
+                        pos = jnp.minimum(pos, edge_keys.shape[0] - 1)
+                        is_common = edge_keys[pos] == probe
+                        is_return = cand == prev
+                        bias = jnp.where(is_return, 1.0 / p,
+                                         jnp.where(is_common, 1.0, 1.0 / q))
+                        ok = racc < bias / max_bias
+                        nxt = jnp.where(accepted, nxt, cand)
+                        accepted = accepted | ok
+                        return nxt, accepted, k + 1
+
+                    def not_done(state):
+                        _, accepted, k = state
+                        return (~jnp.all(accepted)) & (k < 64)
+
+                    deg = indptr[v + 1] - indptr[v]
+                    step_alive = deg > 0
+                    init = (v, ~step_alive, jnp.int32(0))  # dead lanes skip
+                    nxt, _, _ = jax.lax.while_loop(not_done, propose, init)
+                    alive = alive & step_alive
+                    new_prev = jnp.where(alive, v, prev)
+                    nxt = jnp.where(alive, nxt, v)
+                    return (nxt, new_prev, alive), (nxt, alive)
+
+                step_keys = jax.random.split(kk[2], L - 1)
+                (_, _, _), (chain_rest, alive_rest) = jax.lax.scan(
+                    walk_body, (v1, v0, jnp.ones_like(v1, jnp.bool_)),
+                    step_keys)
+
+            # chains: [L+1, W]
+            chain = jnp.concatenate(
+                [v0[None], v1[None], chain_rest], axis=0)
+            alive = jnp.concatenate(
+                [jnp.ones((2, W), jnp.bool_), alive_rest], axis=0)
+            # cumulative validity: position j valid iff all steps up to j alive
+            valid = jnp.cumprod(alive.astype(jnp.int32), axis=0) > 0
+
+            hs, ts, ms = [], [], []
+            for k in range(1, aug + 1):
+                hs.append(chain[: L + 1 - k].reshape(-1))
+                ts.append(chain[k:].reshape(-1))
+                ms.append((valid[: L + 1 - k] & valid[k:]).reshape(-1))
+            h = jnp.concatenate(hs)[:batch_size]
+            t = jnp.concatenate(ts)[:batch_size]
+            m = jnp.concatenate(ms)[:batch_size].astype(jnp.float32)
+            return h, t, m
+
+        return sample

@@ -28,9 +28,11 @@ from graphvite_tpu.ops.alias import device_sample
 from graphvite_tpu.utils.common import EPSILON
 
 
-def _logistic_terms(logits, num_negative, negative_weight):
+def _logistic_terms(logits, num_negative, negative_weight, mask=None):
     """Per-subsample gradient (dL/dlogit) / weight / loss for the layout
-    [negatives..., positive] along the last axis."""
+    [negatives..., positive] along the last axis. `mask` ([B] in {0,1})
+    zeroes padded sample slots (device walk samplers emit fixed-shape pools
+    with dead-walk padding)."""
     prob = jax.nn.sigmoid(logits)
     k = num_negative
     label = jnp.concatenate(
@@ -38,6 +40,9 @@ def _logistic_terms(logits, num_negative, negative_weight):
     label = jnp.broadcast_to(label, logits.shape)
     gradient = prob - label
     weight = jnp.where(label > 0, 1.0, negative_weight).astype(logits.dtype)
+    if mask is not None:
+        gradient = gradient * mask[:, None]
+        weight = weight * mask[:, None]
     loss = jnp.where(label > 0,
                      -jnp.log(prob + EPSILON),
                      -jnp.log(1.0 - prob + EPSILON))
@@ -54,7 +59,7 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
     """state tables: (vertex, context); batch: (heads[B], tails[B]);
     negative sampler state: (prob[Vc], alias[Vc]) device alias arrays."""
 
-    def step(state, heads, tails, key, lr, neg_prob, neg_alias):
+    def step(state, heads, tails, key, lr, neg_prob, neg_alias, mask=None):
         vertex, context = state["tables"]
         v_moms, c_moms = state["moments"]
         b = heads.shape[0]
@@ -69,7 +74,7 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
         c = context[ctx_ids]                                 # [B, K+1, D]
         logits = model.score(v[:, None, :], c)               # [B, K+1]
         gradient, weight, sample_loss = _logistic_terms(
-            logits, k, negative_weight)
+            logits, k, negative_weight, mask)
 
         gv, gc = model.backward(v[:, None, :], c, gradient)  # [B,K+1,D] each
         w = weight[..., None]
@@ -86,7 +91,11 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
             reg_c.reshape(b * (k + 1), -1), opt, lr)
         new_state = {"tables": (new_vertex, new_context),
                      "moments": (new_v_moms, new_c_moms)}
-        return new_state, jnp.mean(sample_loss)
+        if mask is None:
+            mean_loss = jnp.mean(sample_loss)
+        else:
+            mean_loss = jnp.sum(sample_loss) / jnp.maximum(jnp.sum(mask), 1.0)
+        return new_state, mean_loss
 
     return step
 
@@ -108,7 +117,7 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
     (the split-id trick of gpu/knowledge_graph.cuh:65-69 applied to the
     whole entity table instead of a partition pair)."""
 
-    def step(state, heads, tails, rels, key, lr):
+    def step(state, heads, tails, rels, key, lr, mask=None):
         entity, relation = state["tables"]
         e_moms, r_moms = state["moments"]
         b = heads.shape[0]
@@ -144,6 +153,10 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
             [jnp.zeros((b, k), logits.dtype), jnp.ones((b, 1), logits.dtype)], axis=1)
         gradient = prob - label
         weight = jnp.concatenate([neg_w, jnp.ones((b, 1), logits.dtype)], axis=1)
+        if mask is not None:
+            gradient = gradient * mask[:, None]
+            weight = weight * mask[:, None]
+            sample_loss = sample_loss * mask
 
         gh, gt, gr = model.backward(h, t, r, gradient, margin_or_l3)
         w = weight[..., None]
@@ -163,7 +176,11 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
             lr_scale=relation_lr_multiplier)
         new_state = {"tables": (new_entity, new_relation),
                      "moments": (new_e_moms, new_r_moms)}
-        return new_state, jnp.mean(sample_loss)
+        if mask is None:
+            mean_loss = jnp.mean(sample_loss)
+        else:
+            mean_loss = jnp.sum(sample_loss) / jnp.maximum(jnp.sum(mask), 1.0)
+        return new_state, mean_loss
 
     return step
 
@@ -181,7 +198,7 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
                         negative_weight: float):
     SMOOTH = 0.1  # gpu/visualization.cuh:29
 
-    def step(state, heads, tails, key, lr, neg_prob, neg_alias):
+    def step(state, heads, tails, key, lr, neg_prob, neg_alias, mask=None):
         (coord,) = state["tables"]
         (moms,) = state["moments"]
         b = heads.shape[0]
@@ -201,6 +218,9 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
         gradient = jnp.where(is_pos > 0, 2.0 * prob,
                              -2.0 * prob / (x + SMOOTH))
         weight = jnp.where(is_pos > 0, 1.0, negative_weight).astype(x.dtype)
+        if mask is not None:
+            gradient = gradient * mask[:, None]
+            weight = weight * mask[:, None]
         loss = jnp.where(is_pos > 0,
                          -jnp.log(prob + EPSILON),
                          -jnp.log(1.0 - prob + EPSILON))
@@ -215,10 +235,72 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
         ids = jnp.concatenate([heads, t_ids.reshape(-1)])
         grads = jnp.concatenate([reg_h, reg_t.reshape(b * (k + 1), -1)])
         new_coord, new_moms = apply_row_updates(coord, moms, ids, grads, opt, lr)
+        if mask is None:
+            mean_loss = jnp.mean(sample_loss)
+        else:
+            mean_loss = jnp.sum(sample_loss) / jnp.maximum(jnp.sum(mask), 1.0)
         return ({"tables": (new_coord,), "moments": (new_moms,)},
-                jnp.mean(sample_loss))
+                mean_loss)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# fused runner: positives sampled ON DEVICE inside the scan — zero per-batch
+# host traffic (the TPU-native replacement for the 2-pool CPU pipeline of
+# solver.h:417-462; see graphvite_tpu.ops.device_sampler)
+# ---------------------------------------------------------------------------
+
+def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
+                      positive_reuse: int = 1, has_relation: bool = False):
+    """Compile a runner that trains `ep_groups * positive_reuse` batches per
+    device call, generating positives via `sample_fn(key, *sampler_arrays)`
+    inside jit. Each group reuses its positives `positive_reuse` times with
+    fresh negatives (the reference's positive_reuse semantics,
+    solver.h train loop).
+
+    `num_batch_total` (the LR-schedule denominator, solver.h:607) is a
+    traced argument so one compiled executable serves any run length.
+
+    Returned callable: run(state, batch_id0, num_batch_total, base_key,
+    sampler_arrays, neg_state) -> (state, losses[ep_groups * positive_reuse]).
+    """
+    R = max(int(positive_reuse), 1)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
+    def run(state, batch_id0, num_batch_total, base_key, sampler_arrays,
+            neg_state):
+        def group(carry, g):
+            st = carry
+            key = jax.random.fold_in(base_key, g)
+            ks, kt = jax.random.split(key)
+            out = sample_fn(ks, *sampler_arrays)
+
+            def reuse_body(st, r):
+                i = g * R + r
+                lr = opt.schedule_lr(batch_id0 + i, num_batch_total)
+                kr = jax.random.fold_in(kt, r)
+                if has_relation:
+                    heads, tails, rels, mask = out
+                    new_st, loss = step_fn(st, heads, tails, rels, kr, lr,
+                                           mask=mask)
+                else:
+                    heads, tails, mask = out
+                    new_st, loss = step_fn(st, heads, tails, kr, lr,
+                                           *neg_state, mask=mask)
+                return new_st, loss
+
+            if R == 1:
+                return reuse_body(st, jnp.int32(0))
+            st, losses = jax.lax.scan(
+                reuse_body, st, jnp.arange(R, dtype=jnp.int32))
+            return st, losses
+
+        state, losses = jax.lax.scan(
+            group, state, jnp.arange(ep_groups, dtype=jnp.int32))
+        return state, losses.reshape(-1)
+
+    return run
 
 
 # ---------------------------------------------------------------------------

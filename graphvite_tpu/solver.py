@@ -23,6 +23,8 @@ from graphvite_tpu.models import GRAPH_MODELS, KG_MODELS, LargeVis
 from graphvite_tpu.optim import Optimizer, make_optimizer
 from graphvite_tpu.ops.alias import AliasTable, device_alias_arrays
 from graphvite_tpu.ops import steps as _steps
+from graphvite_tpu.ops.device_sampler import (DeviceEdgeSampler,
+                                              DeviceWalkSampler)
 from graphvite_tpu.sampler import (EdgeSampler, RandomWalkSampler,
                                    PrefetchingPool)
 from graphvite_tpu.utils.common import auto, logger
@@ -36,9 +38,13 @@ class SolverBase:
 
     def __init__(self, dim, float_type=np.float32, index_type=np.int32,
                  device_ids=None, num_sampler_per_worker=auto,
-                 gpu_memory_limit=auto, seed=1024):
+                 gpu_memory_limit=auto, seed=1024, sampler_backend="device"):
         # device_ids / memory limits are accepted for API parity with the
         # reference; placement is managed by JAX (single chip or mesh).
+        # sampler_backend: "device" generates positives inside the jitted
+        # step from device-resident alias tables (zero host traffic);
+        # "host" uses the numpy prefetching pipeline (oracle / fallback).
+        self.sampler_backend = sampler_backend
         self.dim = int(dim)
         self.float_type = np.dtype(float_type)
         self.index_type = np.dtype(index_type)
@@ -91,10 +97,79 @@ class SolverBase:
     def _episode_batches(self):
         if self.episode_size not in (auto, None):
             return max(int(self.episode_size), 1)
-        # enough batches per device call to amortize dispatch, bounded by the
-        # run length; ref auto-rule is kSamplePerVertex-based (solver.h:426-436)
+        # enough batches per device call to amortize dispatch; ref auto-rule
+        # is kSamplePerVertex-based (solver.h:426-436). Independent of the
+        # run length so one compiled episode serves every train() call.
         per_vertex = max(175 * self.graph.num_vertex // self.batch_size, 1)
-        return int(min(max(per_vertex, 8), 1000, max(self.num_batch, 1)))
+        return int(min(max(per_vertex, 8), 200))
+
+    def _get_sampler(self, key, builder):
+        """Memoize device samplers per graph (the alias-table build over all
+        edges is the dominant host cost on large graphs)."""
+        if not hasattr(self, "_sampler_cache"):
+            self._sampler_cache = {}
+        full_key = (id(self.graph),) + key
+        sampler = self._sampler_cache.get(full_key)
+        if sampler is None:
+            sampler = builder()
+            self._sampler_cache = {full_key: sampler}  # keep one graph only
+        return sampler
+
+    def _get_runner(self, cache_key, step_fn, sample_fn, ep_groups, R,
+                    has_relation):
+        """Memoize compiled runners across train() calls: a new closure would
+        be a new jit cache entry and recompiling costs ~1 min through the
+        remote-compile tunnel."""
+        if not hasattr(self, "_runner_cache"):
+            self._runner_cache = {}
+        runner = self._runner_cache.get(cache_key)
+        if runner is None:
+            runner = _steps.make_fused_runner(
+                step_fn, sample_fn, self.optimizer, ep_groups, R,
+                has_relation)
+            self._runner_cache[cache_key] = runner
+        return runner
+
+    def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
+                           positive_reuse, log_frequency, has_relation,
+                           cache_key=None):
+        """Fully-fused loop: positives sampled on device inside the scan."""
+        num_edge = self.graph.num_edge
+        self.num_batch = max(int(num_epoch * num_edge // self.batch_size), 1)
+        R = max(int(positive_reuse), 1)
+        ep_groups = max(self._episode_batches() // R, 1)
+        sample_fn = sampler.make_sample_fn(self.batch_size)
+        if cache_key is None:
+            runner = _steps.make_fused_runner(
+                step_fn, sample_fn, self.optimizer, ep_groups, R,
+                has_relation)
+        else:
+            runner = self._get_runner(
+                cache_key + (ep_groups, R, has_relation, self.batch_size),
+                step_fn, sample_fn, ep_groups, R, has_relation)
+        sampler_arrays = sampler.arrays()
+        key = jax.random.PRNGKey(self.seed + self.batch_id)
+        logger.info("training %s: %d batches of %d "
+                    "(device episodes of %d x %d batches)",
+                    self.model, self.num_batch, self.batch_size, ep_groups, R)
+        num_batch_dev = jnp.int32(self.num_batch)
+        next_log = log_frequency
+        losses_acc = []
+        while self.batch_id < self.num_batch:
+            key, sub = jax.random.split(key)
+            self.state, losses = runner(self.state, jnp.int32(self.batch_id),
+                                        num_batch_dev, sub, sampler_arrays,
+                                        neg_state)
+            self.batch_id += ep_groups * R
+            losses_acc.append(losses)
+            if self.batch_id >= next_log or self.batch_id >= self.num_batch:
+                mean_loss = float(jnp.mean(jnp.concatenate(losses_acc)))
+                logger.info("Batch id: %d / %d, loss = %.6g",
+                            min(self.batch_id, self.num_batch),
+                            self.num_batch, mean_loss)
+                losses_acc = []
+                next_log = self.batch_id + log_frequency
+        jax.block_until_ready(self.state["tables"])
 
     def _train_loop(self, step_fn, sampler, has_relation, sampler_state,
                     num_epoch, positive_reuse, log_frequency):
@@ -218,6 +293,29 @@ class GraphSolver(SolverBase):
         neg_table = AliasTable(weights)
         neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
 
+        step_fn = _steps.make_graph_train_step(
+            GRAPH_MODELS[model], self.optimizer, self.num_negative,
+            float(negative_weight))
+        if self.sampler_backend == "device":
+            if augmentation_step == 1:
+                sampler = self._get_sampler(
+                    ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
+            else:
+                sampler = self._get_sampler(
+                    ("walk", augmentation_step, random_walk_length,
+                     model == "node2vec", p, q, self.batch_size),
+                    lambda: DeviceWalkSampler.build(
+                        self.graph, augmentation_step, random_walk_length,
+                        self.batch_size, biased=(model == "node2vec"),
+                        p=p, q=q))
+            cache_key = ("graph", model, self.optimizer, self.num_negative,
+                         float(negative_weight), int(augmentation_step),
+                         int(random_walk_length), float(p), float(q),
+                         float(negative_sample_exponent))
+            self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
+                                    positive_reuse, log_frequency, False,
+                                    cache_key)
+            return
         if augmentation_step == 1:
             sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))
         else:
@@ -226,10 +324,6 @@ class GraphSolver(SolverBase):
                 random_walk_batch_size, shuffle_base,
                 seed=int(self._rng.integers(2**31)),
                 biased=(model == "node2vec"), p=p, q=q)
-
-        step_fn = _steps.make_graph_train_step(
-            GRAPH_MODELS[model], self.optimizer, self.num_negative,
-            float(negative_weight))
         self._train_loop(step_fn, sampler, False, neg_state, num_epoch,
                          positive_reuse, log_frequency)
 
@@ -332,11 +426,23 @@ class KnowledgeGraphSolver(SolverBase):
 
         mdl = KG_MODELS[model]
         margin_or_l3 = self.margin if mdl.uses_margin else self.l3_regularization
-        sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)),
-                              with_relation=True)
         step_fn = _steps.make_kg_train_step(
             mdl, self.optimizer, self.num_negative, margin_or_l3,
             self.adversarial_temperature, float(relation_lr_multiplier))
+        if self.sampler_backend == "device":
+            sampler = self._get_sampler(
+                ("kg_edge",),
+                lambda: DeviceEdgeSampler.build(self.graph,
+                                                with_relation=True))
+            cache_key = ("kg", model, self.optimizer, self.num_negative,
+                         float(margin_or_l3), self.adversarial_temperature,
+                         float(relation_lr_multiplier))
+            self._train_loop_device(step_fn, sampler, (), num_epoch,
+                                    positive_reuse, log_frequency, True,
+                                    cache_key)
+            return
+        sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)),
+                              with_relation=True)
         self._train_loop(step_fn, sampler, True, (), num_epoch,
                          positive_reuse, log_frequency)
 
@@ -398,8 +504,18 @@ class VisualizationSolver(SolverBase):
         weights = np.maximum(weights, 1e-12) ** negative_sample_exponent
         neg_table = AliasTable(weights)
         neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
-        sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))
         step_fn = _steps.make_vis_train_step(
             LargeVis, self.optimizer, self.num_negative, float(negative_weight))
+        if self.sampler_backend == "device":
+            sampler = self._get_sampler(
+                ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
+            cache_key = ("vis", self.optimizer, self.num_negative,
+                         float(negative_weight),
+                         float(negative_sample_exponent))
+            self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
+                                    positive_reuse, log_frequency, False,
+                                    cache_key)
+            return
+        sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))
         self._train_loop(step_fn, sampler, False, neg_state, num_epoch,
                          positive_reuse, log_frequency)
