@@ -34,8 +34,8 @@ def auc(scores, labels):
 def test_line_learns_edges():
     g = two_blocks()
     solver = GraphSolver(dim=16)
-    solver.build(g, num_negative=1, batch_size=512, episode_size=8)
-    solver.train(model="LINE", num_epoch=600, augmentation_step=1,
+    solver.build(g, num_negative=2, batch_size=512, episode_size=8)
+    solver.train(model="LINE", num_epoch=1000, augmentation_step=1,
                  negative_weight=1.0, log_frequency=10000)
     rng = np.random.default_rng(1)
     half = g.num_vertex // 2
