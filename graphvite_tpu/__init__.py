@@ -20,9 +20,17 @@ def _enable_compile_cache():
         return
     try:
         import jax
+        platforms = str(jax.config.jax_platforms or "")
+        if platforms.strip() in ("cpu", ""):
+            # CPU executables are AOT-compiled for the exact host CPU; a
+            # cache shared across machines (or with a remote-compile
+            # service) can produce SIGILL binaries. Only cache accelerator
+            # executables.
+            return
         path = _os.environ.get(
             "GRAPHVITE_TPU_CACHE_DIR",
-            _os.path.expanduser("~/.cache/graphvite_tpu/jax"))
+            _os.path.expanduser("~/.cache/graphvite_tpu/jax-%s"
+                                % platforms.replace(",", "-")))
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

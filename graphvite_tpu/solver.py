@@ -137,7 +137,8 @@ class SolverBase:
         num_edge = self.graph.num_edge
         self.num_batch = max(int(num_epoch * num_edge // self.batch_size), 1)
         R = max(int(positive_reuse), 1)
-        ep_groups = max(self._episode_batches() // R, 1)
+        # clamp so short runs don't overshoot by a whole episode
+        ep_groups = max(min(self._episode_batches(), self.num_batch) // R, 1)
         sample_fn = sampler.make_sample_fn(self.batch_size)
         if cache_key is None:
             runner = _steps.make_fused_runner(
