@@ -43,9 +43,12 @@ def _logistic_terms(logits, num_negative, negative_weight, mask=None):
     if mask is not None:
         gradient = gradient * mask[:, None]
         weight = weight * mask[:, None]
+    # stable logistic loss: -log sigmoid(z) = softplus(-z);
+    # -log(1 - sigmoid(z)) = softplus(z). (The naive -log(1-p+eps) form is
+    # algebraically simplified by XLA into log(expr-that-can-be-0).)
     loss = jnp.where(label > 0,
-                     -jnp.log(prob + EPSILON),
-                     -jnp.log(1.0 - prob + EPSILON))
+                     jax.nn.softplus(-logits),
+                     jax.nn.softplus(logits))
     sample_loss = jnp.sum(weight * loss, axis=-1) / (1.0 + k * negative_weight)
     return gradient, weight, sample_loss
 
@@ -137,7 +140,8 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         logits = model.score(h, t, r, margin_or_l3)          # [B, K+1]
 
         prob = jax.nn.sigmoid(logits)
-        pos_loss = -jnp.log(prob[:, -1] + EPSILON)
+        # stable: -log sigmoid(z) = softplus(-z); -log(1-sigmoid(z)) = softplus(z)
+        pos_loss = jax.nn.softplus(-logits[:, -1])
         neg_logits = logits[:, :k]
         if adversarial_temperature > EPSILON:
             # exact softmax normalizer; the reference's stale-normalizer clip
@@ -146,7 +150,7 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
             neg_w = jnp.minimum(neg_w, 1.0)
         else:
             neg_w = jnp.full_like(neg_logits, 1.0 / k)
-        neg_loss = jnp.sum(neg_w * -jnp.log(1.0 - prob[:, :k] + EPSILON), axis=-1)
+        neg_loss = jnp.sum(neg_w * jax.nn.softplus(neg_logits), axis=-1)
         sample_loss = (pos_loss + neg_loss) / 2.0
 
         label = jnp.concatenate(
@@ -221,9 +225,13 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
         if mask is not None:
             gradient = gradient * mask[:, None]
             weight = weight * mask[:, None]
+        # prob = 1/(1+x): -log(prob) = log1p(x);
+        # -log(1-prob) = log1p(x) - log(x), with an epsilon floor on x only
+        # (naive 1-prob+eps gets simplified to x/(1+x) by XLA -> log(0))
+        log1px = jnp.log1p(x)
         loss = jnp.where(is_pos > 0,
-                         -jnp.log(prob + EPSILON),
-                         -jnp.log(1.0 - prob + EPSILON))
+                         log1px,
+                         log1px - jnp.log(x + EPSILON))
         sample_loss = jnp.sum(weight * loss, axis=-1) / (1.0 + k * negative_weight)
 
         gh, gt = model.backward(h, t, gradient)
