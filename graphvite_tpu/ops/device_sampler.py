@@ -116,8 +116,9 @@ class DeviceWalkSampler:
     p: float = 1.0
     q: float = 1.0
     biased: bool = False
-    edge_keys: Optional[jax.Array] = None   # [Ed] sorted h*V+t for membership
-    csr_weights: Optional[jax.Array] = None  # [Ed] f32 (biased only)
+    sorted_indices: Optional[jax.Array] = None  # [Ed] i32: CSR indices, each
+    #                                             vertex's row sorted (for
+    #                                             int32-safe membership search)
 
     @classmethod
     def build(cls, graph, augmentation_step, walk_length, batch_size,
@@ -137,11 +138,14 @@ class DeviceWalkSampler:
         num_walk = max(int(math.ceil(batch_size / pairs_per_walk)), 1)
         kw = {}
         if biased:
-            keys = np.sort(graph.edge_heads.astype(np.int64)
-                           * graph.num_vertex + graph.edge_tails)
+            # row-sorted CSR indices: lexsort by (source, neighbor) keeps
+            # rows contiguous with neighbors ascending within each row
+            order = np.lexsort((graph.indices,
+                                np.repeat(np.arange(graph.indptr.size - 1),
+                                          np.diff(graph.indptr))))
             kw = dict(biased=True, p=float(p), q=float(q),
-                      edge_keys=jnp.asarray(keys, jnp.int64),
-                      csr_weights=jnp.asarray(graph.csr_weights, jnp.float32))
+                      sorted_indices=jnp.asarray(graph.indices[order],
+                                                 jnp.int32))
         return cls(
             edge_prob=jnp.asarray(t.prob, jnp.float32),
             edge_alias=jnp.asarray(t.alias, jnp.int32),
@@ -159,7 +163,7 @@ class DeviceWalkSampler:
         out = [self.edge_prob, self.edge_alias, self.heads, self.tails,
                self.indptr, self.indices, self.nbr_prob, self.nbr_alias]
         if self.biased:
-            out += [self.edge_keys, self.csr_weights]
+            out.append(self.sorted_indices)
         return tuple(out)
 
     def make_sample_fn(self, batch_size: int):
@@ -212,10 +216,28 @@ class DeviceWalkSampler:
                     walk_body, (v1, jnp.ones_like(v1, jnp.bool_)),
                     (w1s, w2s))
             else:
-                num_vertex = indptr.shape[0] - 1
-                edge_keys, csr_w = rest
-
+                (sorted_idx,) = rest
                 max_bias = max(1.0, 1.0 / p, 1.0 / q)
+
+                def in_neighbors(x, u):
+                    """u in N(x) via binary search on the row-sorted CSR
+                    (int32-safe; the u*V+t key trick overflows int32)."""
+                    lo = indptr[x]
+                    hi = indptr[x + 1]
+                    n_edge = sorted_idx.shape[0]
+
+                    def bs_body(_, state):
+                        lo, hi = state
+                        mid = (lo + hi) // 2
+                        v = sorted_idx[jnp.minimum(mid, n_edge - 1)]
+                        go_right = (v < u) & (lo < hi)
+                        new_lo = jnp.where(go_right, mid + 1, lo)
+                        new_hi = jnp.where((~go_right) & (lo < hi), mid, hi)
+                        return new_lo, new_hi
+
+                    lo, hi = jax.lax.fori_loop(0, 32, bs_body, (lo, hi))
+                    found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
+                    return found & (lo < indptr[x + 1])
 
                 def walk_body(carry, step_key):
                     v, prev, alive = carry
@@ -233,10 +255,10 @@ class DeviceWalkSampler:
                         w1, w2, racc = jax.random.uniform(pk, (3, W))
                         cand, _ = step_neighbor(
                             indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
-                        probe = cand.astype(jnp.int64) * num_vertex + prev
-                        pos = jnp.searchsorted(edge_keys, probe)
-                        pos = jnp.minimum(pos, edge_keys.shape[0] - 1)
-                        is_common = edge_keys[pos] == probe
+                        # reference tests neighbors[x].find(u), i.e. edge
+                        # x -> u with x = candidate, u = previous vertex
+                        # (graph.cuh:668)
+                        is_common = in_neighbors(cand, prev)
                         is_return = cand == prev
                         bias = jnp.where(is_return, 1.0 / p,
                                          jnp.where(is_common, 1.0, 1.0 / q))

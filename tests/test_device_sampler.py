@@ -1,0 +1,139 @@
+"""Statistical tests for the on-device samplers against exact distributions
+(the reference validates samplers only implicitly through benchmarks;
+SURVEY.md §4 mandates the test pyramid it lacks)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphvite_tpu.graph import Graph
+from graphvite_tpu.ops.device_sampler import (DeviceEdgeSampler,
+                                              DeviceWalkSampler)
+
+
+def ring_graph(n=20, extra=()):
+    edges = [(str(i), str((i + 1) % n)) for i in range(n)]
+    edges += [(str(a), str(b)) for a, b in extra]
+    return Graph().load_edge_list(edges)
+
+
+def weighted_graph():
+    edges = [("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 2.0),
+             ("c", "d", 4.0)]
+    return Graph().load_edge_list(edges)
+
+
+def collect_pairs(sampler, batch_size, rounds=20, seed=0):
+    fn = sampler.make_sample_fn(batch_size)
+    arrays = sampler.arrays()
+    hs, ts = [], []
+    for i in range(rounds):
+        out = fn(jax.random.PRNGKey(seed + i), *arrays)
+        h, t, m = out[0], out[1], out[-1]
+        keep = np.asarray(m) > 0
+        hs.append(np.asarray(h)[keep])
+        ts.append(np.asarray(t)[keep])
+    return np.concatenate(hs), np.concatenate(ts)
+
+
+def test_device_edge_sampler_matches_edge_weights():
+    g = weighted_graph()
+    samp = DeviceEdgeSampler.build(g)
+    h, t = collect_pairs(samp, 4096, rounds=10)
+    # empirical directed-edge frequency ~ edge weight
+    key = h.astype(np.int64) * g.num_vertex + t
+    ekey = g.edge_heads * g.num_vertex + g.edge_tails
+    counts = np.array([np.sum(key == k) for k in ekey], dtype=np.float64)
+    emp = counts / counts.sum()
+    exp = g.edge_weights / g.edge_weights.sum()
+    assert np.abs(emp - exp).max() < 0.02
+
+
+def test_device_walk_pairs_are_paths():
+    g = ring_graph(12)
+    samp = DeviceWalkSampler.build(g, augmentation_step=2, walk_length=6,
+                                   batch_size=512)
+    h, t = collect_pairs(samp, 512, rounds=5)
+    # on a directed-symmetrized ring, any pair within 2 hops differs by
+    # <= 2 (mod n)
+    d = np.minimum((t - h) % 12, (h - t) % 12)
+    assert (d <= 2).all()
+    assert (d >= 0).all()
+    # both 1-hop and 2-hop pairs appear
+    assert (d == 1).any() and (d == 2).any()
+
+
+def test_device_walk_dead_ends_masked():
+    # directed path 0 -> 1 -> 2; walks die at 2
+    g = Graph().load_edge_list([("0", "1"), ("1", "2")], as_undirected=False)
+    samp = DeviceWalkSampler.build(g, augmentation_step=3, walk_length=5,
+                                   batch_size=64)
+    fn = samp.make_sample_fn(64)
+    out = fn(jax.random.PRNGKey(0), *samp.arrays())
+    h, t, m = (np.asarray(x) for x in out)
+    keep = m > 0
+    # every valid pair must be a genuine <=3-hop path in the DAG: t > h
+    assert (t[keep] > h[keep]).all()
+    assert (t[keep] - h[keep] <= 3).all()
+    assert keep.any() and (~keep).any()  # dead walks produce masked slots
+
+
+def test_node2vec_uniform_pq_matches_first_order():
+    """p=q=1 must reduce to the unbiased walk distribution."""
+    g = ring_graph(10, extra=[(0, 5)])
+    a = DeviceWalkSampler.build(g, 2, 6, 1024, biased=False)
+    b = DeviceWalkSampler.build(g, 2, 6, 1024, biased=True, p=1.0, q=1.0)
+    ha, ta = collect_pairs(a, 1024, rounds=10, seed=0)
+    hb, tb = collect_pairs(b, 1024, rounds=10, seed=100)
+    ka = np.bincount(ha * g.num_vertex + ta, minlength=g.num_vertex ** 2)
+    kb = np.bincount(hb * g.num_vertex + tb, minlength=g.num_vertex ** 2)
+    pa = ka / ka.sum()
+    pb = kb / kb.sum()
+    assert np.abs(pa - pb).max() < 0.015
+
+
+def test_node2vec_large_p_suppresses_returns():
+    """p -> inf means never step back to the previous vertex when another
+    neighbor exists (graph.cuh:663-672 reweighting, w/p for the return)."""
+    g = ring_graph(10)
+    samp = DeviceWalkSampler.build(g, 1, 4, 2048, biased=True, p=1e9, q=1.0)
+    fn = samp.make_sample_fn(2048)
+    arrays = samp.arrays()
+    returns = total = 0
+    for i in range(5):
+        out = fn(jax.random.PRNGKey(i), *arrays)
+        h, t, m = (np.asarray(x) for x in out)
+        # consecutive 1-hop pairs share walks; count immediate backtracks
+        # chain positions are interleaved [pos, walk] — a backtrack shows as
+        # pair (x, y) followed later by (y, x) at the next position of the
+        # same walk. Use aggregate statistics instead: on a ring every
+        # vertex has 2 neighbors; unbiased walks backtrack ~50% of steps,
+        # p=1e9 should nearly eliminate 2-step returns.
+        total += 1
+    # statistical proxy: distribution of 2-hop displacement
+    samp2 = DeviceWalkSampler.build(g, 2, 6, 2048, biased=True, p=1e9, q=1.0)
+    h, t = collect_pairs(samp2, 2048, rounds=5, seed=7)
+    d = (t - h) % 10
+    two_hop = np.isin(d, [2, 8])
+    same = d == 0
+    k2 = int(two_hop.sum())
+    k0 = int(same.sum())
+    # without backtracking, 2-hop pairs never return to start (d=0 requires
+    # a backtrack on a ring)
+    assert k0 < 0.02 * (k0 + k2)
+
+
+def test_node2vec_large_q_stays_local():
+    """q -> inf suppresses steps to non-common-neighbor vertices: on a
+    triangle-rich clique the walk should stay within the clique."""
+    # two triangles joined by one bridge edge
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    g = Graph().load_edge_list([(str(a), str(b)) for a, b in edges])
+    samp = DeviceWalkSampler.build(g, 3, 8, 2048, biased=True, p=1.0, q=1e6)
+    h, t = collect_pairs(samp, 2048, rounds=5, seed=3)
+    # crossing the bridge requires a non-common step (bridge endpoints have
+    # no common neighbor), so cross-triangle pairs should be rare
+    left = set([0, 1, 2])
+    cross = sum(1 for a, b in zip(h, t)
+                if (a in left) != (b in left))
+    assert cross / len(h) < 0.25
