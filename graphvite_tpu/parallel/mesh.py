@@ -109,23 +109,59 @@ class VertexPartition:
         return prob, alias, sizes
 
 
-def _local_episode_scan(step_fn, opt: Optimizer, num_batch_total: int):
-    """Scan `step_fn` over the local pool of batches (single-device code,
-    run per-shard inside shard_map)."""
+class BlockEdgeTables:
+    """Per-device alias tables over the P x P edge blocks.
 
-    def run(state, pool, batch_id0, base_key, neg_prob, neg_alias, neg_size):
-        def body(carry, xs):
-            st, i = carry
-            lr = opt.schedule_lr(batch_id0 + i, num_batch_total)
-            key = jax.random.fold_in(base_key, i)
-            new_st, loss = step_fn(st, xs, key, lr, neg_prob, neg_alias,
-                                   neg_size)
-            return (new_st, i + 1), loss
+    Edges are grouped by (head_partition, tail_partition); device i owns all
+    blocks (i, *) — stationary, like the head-role table. Within a device the
+    P blocks are packed contiguously with `offsets[i, j]` delimiting block
+    (i, j); each block has its own alias table (local indices). At episode e
+    device i samples positives from block (i, (i + e) % P) entirely
+    on-device — the sample pools of solver.h:417-462 with zero host traffic.
+    """
 
-        (state, _), losses = jax.lax.scan(body, (state, jnp.int32(0)), pool)
-        return state, losses
+    def __init__(self, graph, partition: VertexPartition):
+        P_ = partition.num_partition
+        hp = partition.part_of[graph.edge_heads]
+        tp = partition.part_of[graph.edge_tails]
+        lh = partition.local_of[graph.edge_heads]
+        lt = partition.local_of[graph.edge_tails]
+        w = np.asarray(graph.edge_weights, np.float64)
+        order = np.lexsort((tp, hp))
+        hp, tp, lh, lt, w = hp[order], tp[order], lh[order], lt[order], w[order]
+        # per-device max packed size (padded)
+        counts = np.bincount(hp * P_ + tp, minlength=P_ * P_).reshape(P_, P_)
+        per_dev = counts.sum(axis=1)
+        cap = int(per_dev.max()) if per_dev.size else 0
+        cap = max(cap, 1)
+        self.capacity = cap
+        prob = np.zeros((P_, cap), np.float32)
+        alias = np.zeros((P_, cap), np.int32)
+        heads = np.zeros((P_, cap), np.int32)
+        tails = np.zeros((P_, cap), np.int32)
+        offsets = np.zeros((P_, P_ + 1), np.int32)
+        start = np.concatenate([[0], np.cumsum(per_dev)[:-1]])
+        for i in range(P_):
+            offsets[i, 1:] = np.cumsum(counts[i])
+            sl = slice(start[i], start[i] + per_dev[i])
+            heads[i, : per_dev[i]] = lh[sl]
+            tails[i, : per_dev[i]] = lt[sl]
+            for j in range(P_):
+                lo, hi = offsets[i, j], offsets[i, j + 1]
+                if hi > lo:
+                    t = AliasTable(w[sl][lo:hi])
+                    prob[i, lo:hi] = t.prob
+                    alias[i, lo:hi] = t.alias
+        self.prob, self.alias = prob, alias
+        self.heads, self.tails = heads, tails
+        self.offsets = offsets
 
-    return run
+    def device_arrays(self, mesh, axis="p"):
+        shard = NamedSharding(mesh, P(axis))
+        return tuple(jax.device_put(a, shard) for a in
+                     (self.prob, self.alias, self.heads, self.tails,
+                      self.offsets))
+
 
 
 def make_sharded_graph_step(model, opt: Optimizer, num_negative: int,
@@ -184,61 +220,102 @@ def make_sharded_graph_step(model, opt: Optimizer, num_negative: int,
     return step
 
 
-class ShardedGraphTrainer:
-    """Episode-scheduled sharded training of (vertex, context) tables.
 
-    Owns the device-side machinery only; the host side (pool binning by
-    (head_part, tail_part) block) is `bin_pool`. The full solver wires a
-    sampler into this; `__graft_entry__.dryrun_multichip` drives it with a
-    synthetic pool.
+
+class ShardedGraphTrainer:
+    """Episode-scheduled sharded training, fully device-resident.
+
+    Per device: stationary head-role shard (vertex table + moments) and
+    block edge tables (blocks (i, *)); rotating tail-role shard (context
+    table + moments + per-partition negative alias arrays). One call to
+    `run_episode(e)` scans `ep_batches` batches sampled on-device from block
+    (i, (i + e) % P) and then rotates the tail role one step around the
+    ring via ppermute — the orthogonal episode schedule of solver.h:519-575
+    as static ICI communication.
     """
 
     def __init__(self, mesh: Mesh, partition: VertexPartition, dim: int,
                  model, opt: Optimizer, num_negative: int = 1,
-                 negative_weight: float = 5.0, num_batch_total: int = 1000,
+                 negative_weight: float = 5.0, batch_size: int = 100000,
+                 ep_batches: int = 50, num_batch_total: int = 1000,
                  axis: str = "p"):
         self.mesh = mesh
         self.partition = partition
         self.axis = axis
         self.dim = dim
         self.opt = opt
+        self.batch_size = int(batch_size)
+        self.ep_batches = int(ep_batches)
+        self.num_batch_total = int(num_batch_total)  # informational only
+        self.rotation = 0
         self.num_partition = partition.num_partition
         assert self.num_partition == mesh.devices.size, \
             "one partition per device"
+        P_ = self.num_partition
+        B = self.batch_size
+        EP = self.ep_batches
         step = make_sharded_graph_step(model, opt, num_negative,
                                        negative_weight)
-        episode = _local_episode_scan(step, opt, num_batch_total)
 
-        def device_episode(state, pool, batch_id0, keys,
-                           neg_prob, neg_alias, neg_size):
-            # all arrays here are the LOCAL shard (leading axis 1 stripped)
-            local_state = jax.tree_util.tree_map(lambda x: x[0], state)
-            new_local, losses = episode(
-                local_state, jax.tree_util.tree_map(lambda x: x[0], pool),
-                batch_id0, keys[0], neg_prob[0], neg_alias[0], neg_size[0])
-            # rotate tail-role state one step around the ring so the next
-            # episode trains block (p, (p + e + 1) % P)
-            perm = [(i, (i - 1) % self.num_partition)
-                    for i in range(self.num_partition)]
+        def device_episode(state, blocks, neg_prob, neg_alias, neg_size,
+                           episode_idx, batch_id0, num_batch_total, keys):
+            # local shards (leading device axis stripped)
+            local = jax.tree_util.tree_map(lambda x: x[0], state)
+            bprob, balias, bheads, btails, boffsets = (
+                jax.tree_util.tree_map(lambda x: x[0], blocks))
+            nprob, nalias = neg_prob[0], neg_alias[0]
+            nsize = neg_size[0]
+            key0 = keys[0]
+            my = jax.lax.axis_index(self.axis)
+            j = (my + episode_idx) % P_
+            lo = boffsets[j]
+            hi = boffsets[j + 1]
+            n_block = jnp.maximum(hi - lo, 0)
+
+            def body(carry, i):
+                st = carry
+                lr = opt.schedule_lr(batch_id0 + i, num_batch_total)
+                key = jax.random.fold_in(key0, i)
+                ks, kt = jax.random.split(key)
+                u = jax.random.uniform(ks, (2, B))
+                safe_n = jnp.maximum(n_block, 1)
+                idx = lo + jnp.minimum((u[0] * safe_n).astype(jnp.int32),
+                                       safe_n - 1)
+                eid = jnp.where(u[1] < bprob[idx], idx, lo + balias[idx])
+                h = bheads[eid]
+                t = btails[eid]
+                mask = jnp.broadcast_to((n_block > 0).astype(jnp.float32),
+                                        (B,))
+                new_st, loss = step(st, (h, t, mask), kt, lr, nprob, nalias,
+                                    nsize)
+                return new_st, loss
+
+            local, losses = jax.lax.scan(
+                body, local, jnp.arange(EP, dtype=jnp.int32))
+
+            perm = [(i, (i - 1) % P_) for i in range(P_)]
 
             def rot(x):
-                return jax.lax.ppermute(x, axis, perm)
+                return jax.lax.ppermute(x, self.axis, perm)
 
-            vertex, context = new_local["tables"]
-            v_moms, c_moms = new_local["moments"]
+            vertex, context = local["tables"]
+            v_moms, c_moms = local["moments"]
             context = rot(context)
             c_moms = jax.tree_util.tree_map(rot, c_moms)
             out_state = {"tables": (vertex, context),
                          "moments": (v_moms, c_moms)}
             out_state = jax.tree_util.tree_map(lambda x: x[None], out_state)
-            return out_state, (rot(neg_prob[0])[None], rot(neg_alias[0])[None],
-                               rot(neg_size[0][None])), losses[None]
+            return (out_state,
+                    (rot(nprob)[None], rot(nalias)[None],
+                     rot(nsize[None])),
+                    losses[None])
 
         pspec = P(axis)
         self._episode_fn = jax.jit(
             jax.shard_map(
                 device_episode, mesh=mesh,
-                in_specs=(pspec, pspec, P(), pspec, pspec, pspec, pspec),
+                in_specs=(pspec, pspec, pspec, pspec, pspec,
+                          P(), P(), P(), pspec),
                 out_specs=(pspec, (pspec, pspec, pspec), pspec),
                 check_vma=False),
             donate_argnums=(0,))
@@ -248,6 +325,7 @@ class ShardedGraphTrainer:
         """Shard [V, D] host tables into [P, cap, D] device arrays."""
         shard = NamedSharding(self.mesh, P(self.axis))
         part = self.partition
+        self.rotation = 0
         tables = tuple(
             jax.device_put(part.shard_rows(t), shard)
             for t in (vertex_np, context_np))
@@ -267,55 +345,28 @@ class ShardedGraphTrainer:
         return (jax.device_put(prob, shard), jax.device_put(alias, shard),
                 jax.device_put(sizes, shard))
 
-    def bin_pool(self, heads: np.ndarray, tails: np.ndarray, episode: int,
-                 num_batch: int, batch_size: int):
-        """Route a host pool of GLOBAL (head, tail) pairs to the block each
-        device trains this episode; convert to local ids; pad with masked
-        slots. Returns ([P, N, B] heads, tails, mask_f32) host arrays.
+    def build_blocks(self, graph):
+        return BlockEdgeTables(graph, self.partition).device_arrays(
+            self.mesh, self.axis)
 
-        Samples whose (head_part, tail_part) doesn't match any active block
-        this episode are dropped (they belong to other episodes; the caller's
-        sampler feeds each episode from the matching bins, so in steady state
-        nothing is wasted — this mirrors the per-block pools of
-        solver.h:417-462).
-        """
-        part = self.partition
-        p_of = part.part_of
-        hp = p_of[heads]
-        tp = p_of[tails]
-        P_ = self.num_partition
-        want_tail = (hp + episode) % P_
-        match = tp == want_tail
-        dev = hp  # device == head partition
-        n = num_batch * batch_size
-        out_h = np.zeros((P_, num_batch, batch_size), dtype=np.int32)
-        out_t = np.zeros((P_, num_batch, batch_size), dtype=np.int32)
-        out_m = np.zeros((P_, num_batch, batch_size), dtype=np.float32)
-        lh = part.local_of[heads]
-        lt = part.local_of[tails]
-        for p in range(P_):
-            sel = match & (dev == p)
-            h = lh[sel][:n]
-            t = lt[sel][:n]
-            m = h.shape[0]
-            out_h[p].reshape(-1)[:m] = h
-            out_t[p].reshape(-1)[:m] = t
-            out_m[p].reshape(-1)[:m] = 1.0
-        return out_h, out_t, out_m
-
-    def run_episode(self, state, pool, neg_state, batch_id0, seed):
-        keys = jax.random.split(jax.random.PRNGKey(seed),
-                                self.num_partition)
+    def run_episode(self, state, blocks, neg_state, batch_id0,
+                    num_batch_total, seed):
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(seed), self.rotation),
+            self.num_partition)
         state, neg_state, losses = self._episode_fn(
-            state, pool, jnp.int32(batch_id0), keys, *neg_state)
+            state, blocks, *neg_state,
+            jnp.int32(self.rotation % self.num_partition),
+            jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
+        self.rotation += 1
         return state, neg_state, losses
 
     def gather_tables(self, state):
-        """Bring tables back to host [V, D] in global order.
-
-        NOTE: after `e` episodes the context/tail shards have been rotated
-        `e` times; the caller must undo the rotation by running episodes in
-        multiples of P (rotation is then identity)."""
+        """Bring tables back to host [V, D] in global order, undoing the
+        tail-shard rotation (after e episodes device i holds tail partition
+        (i + e) % P)."""
         part = self.partition
         v, c = (np.asarray(t) for t in state["tables"])
+        e = self.rotation % self.num_partition
+        c = np.roll(c, e, axis=0)
         return part.unshard_rows(v), part.unshard_rows(c)

@@ -1,0 +1,131 @@
+"""Multi-chip sharded trainer tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphvite_tpu.graph import Graph
+from graphvite_tpu.models import GRAPH_MODELS
+from graphvite_tpu.optim import Optimizer
+from graphvite_tpu.parallel import (VertexPartition, ShardedGraphTrainer,
+                                    make_mesh)
+from graphvite_tpu.parallel.mesh import BlockEdgeTables
+
+
+def two_blocks(n=60, seed=0):
+    """Two dense blocks with sparse cross edges."""
+    rng = np.random.default_rng(seed)
+    half = n // 2
+    edges = []
+    for _ in range(n * 12):
+        blk = rng.integers(2)
+        u = rng.integers(half) + blk * half
+        v = rng.integers(half) + blk * half
+        if u != v:
+            edges.append((str(u), str(v)))
+    for _ in range(n // 4):
+        edges.append((str(rng.integers(half)),
+                      str(rng.integers(half) + half)))
+    return Graph().load_edge_list(edges)
+
+
+def test_vertex_partition_roundtrip():
+    rng = np.random.default_rng(0)
+    deg = rng.integers(1, 100, 37)
+    part = VertexPartition(deg, 4)
+    table = rng.standard_normal((37, 8)).astype(np.float32)
+    assert np.array_equal(part.unshard_rows(part.shard_rows(table)), table)
+    # zigzag balance: partition sizes differ by at most 1
+    sizes = np.bincount(part.part_of, minlength=4)
+    assert sizes.max() - sizes.min() <= 1
+
+
+def test_block_tables_cover_all_edges():
+    g = two_blocks()
+    part = VertexPartition(np.asarray(g.degrees), 4)
+    bt = BlockEdgeTables(g, part)
+    # every directed edge appears exactly once across all blocks
+    total = sum(int(bt.offsets[i, -1]) for i in range(4))
+    assert total == g.num_directed_edge
+    # edges in block (i, j) have head partition i and tail partition j
+    for i in range(4):
+        for j in range(4):
+            lo, hi = bt.offsets[i, j], bt.offsets[i, j + 1]
+            h_local = bt.heads[i, lo:hi]
+            t_local = bt.tails[i, lo:hi]
+            # local ids must be within the partition capacities
+            assert (h_local < part.capacity).all()
+            assert (t_local < part.capacity).all()
+
+
+def _train_sharded(g, num_epoch=400, dim=16, P=8, batch=256, seed=0):
+    mesh = make_mesh(P)
+    part = VertexPartition(np.asarray(g.degrees), P)
+    opt = Optimizer(type="SGD", lr=0.025, weight_decay=5e-3)
+    ep_batches = 4
+    num_batch = max(num_epoch * g.num_edge // batch, 1)
+    trainer = ShardedGraphTrainer(
+        mesh, part, dim, GRAPH_MODELS["LINE"], opt, num_negative=2,
+        negative_weight=1.0, batch_size=batch, ep_batches=ep_batches)
+    rng = np.random.default_rng(seed)
+    vertex = rng.uniform(-0.5 / dim, 0.5 / dim,
+                         (g.num_vertex, dim)).astype(np.float32)
+    context = np.zeros((g.num_vertex, dim), np.float32)
+    state = trainer.init_state(vertex, context)
+    neg_state = trainer.init_negative_state(g.vertex_weights)
+    blocks = trainer.build_blocks(g)
+    batch_id = 0
+    first_loss = last_loss = None
+    while batch_id < num_batch:
+        state, neg_state, losses = trainer.run_episode(
+            state, blocks, neg_state, batch_id, num_batch, seed=batch_id)
+        l = np.asarray(losses)
+        l = l[np.isfinite(l) & (l > 0)]
+        if l.size:
+            if first_loss is None:
+                first_loss = float(l.mean())
+            last_loss = float(l.mean())
+        batch_id += ep_batches
+    v, c = trainer.gather_tables(state)
+    return v, c, first_loss, last_loss
+
+
+def test_sharded_training_learns():
+    g = two_blocks()
+    v, c, first_loss, last_loss = _train_sharded(g)
+    assert np.isfinite(v).all() and np.isfinite(c).all()
+    assert last_loss < first_loss  # training reduces the loss
+    # same-block pairs should score higher than cross-block pairs
+    rng = np.random.default_rng(1)
+    half = g.num_vertex // 2
+    same = [(rng.integers(half), rng.integers(half)) for _ in range(200)]
+    cross = [(rng.integers(half), rng.integers(half) + half)
+             for _ in range(200)]
+    def score(pairs):
+        return np.array([(v[a] * c[b]).sum() for a, b in pairs])
+    assert score(same).mean() > score(cross).mean()
+
+
+def test_rotation_bookkeeping():
+    """After e episodes gather_tables must return partition-correct rows
+    regardless of e (the ppermute rotation must be undone)."""
+    g = two_blocks(32)
+    P = 4
+    mesh = make_mesh(P)
+    part = VertexPartition(np.asarray(g.degrees), P)
+    opt = Optimizer(type="SGD", lr=0.0)  # lr=0: tables must be unchanged
+    trainer = ShardedGraphTrainer(
+        mesh, part, 8, GRAPH_MODELS["LINE"], opt, num_negative=1,
+        negative_weight=1.0, batch_size=32, ep_batches=2)
+    rng = np.random.default_rng(0)
+    vertex = rng.standard_normal((g.num_vertex, 8)).astype(np.float32)
+    context = rng.standard_normal((g.num_vertex, 8)).astype(np.float32)
+    state = trainer.init_state(vertex, context)
+    neg_state = trainer.init_negative_state(g.vertex_weights)
+    blocks = trainer.build_blocks(g)
+    for e in range(3):  # 3 episodes: rotation not a multiple of P
+        state, neg_state, _ = trainer.run_episode(
+            state, blocks, neg_state, 0, 100, seed=e)
+    v, c = trainer.gather_tables(state)
+    np.testing.assert_allclose(v, vertex, rtol=1e-6)
+    np.testing.assert_allclose(c, context, rtol=1e-6)
