@@ -17,7 +17,9 @@ Guarantees preserved from the reference:
 * episode rotation visits every (i, j) block once per P episodes.
 """
 from graphvite_tpu.parallel.mesh import (
-    VertexPartition, ShardedGraphTrainer, make_mesh,
+    VertexPartition, BlockEdgeTables, ShardedGraphTrainer, make_mesh,
 )
+from graphvite_tpu.parallel.kg import ReplicatedKGTrainer
 
-__all__ = ["VertexPartition", "ShardedGraphTrainer", "make_mesh"]
+__all__ = ["VertexPartition", "BlockEdgeTables", "ShardedGraphTrainer",
+           "ReplicatedKGTrainer", "make_mesh"]

@@ -129,3 +129,41 @@ def test_rotation_bookkeeping():
     v, c = trainer.gather_tables(state)
     np.testing.assert_allclose(v, vertex, rtol=1e-6)
     np.testing.assert_allclose(c, context, rtol=1e-6)
+
+
+def math_kg(n=300, seed=0):
+    from graphvite_tpu.graph import KnowledgeGraph
+    rng = np.random.default_rng(seed)
+    trips = [(str(rng.integers(40)), "r%d" % rng.integers(4),
+              str(rng.integers(40))) for _ in range(n)]
+    return KnowledgeGraph().load_triplet_list(trips)
+
+
+def test_replicated_kg_trainer():
+    from graphvite_tpu.parallel import ReplicatedKGTrainer
+    from graphvite_tpu.models import KG_MODELS
+    from graphvite_tpu.ops import steps as _steps
+
+    kg = math_kg()
+    dim, P_ = 16, 8
+    mesh = make_mesh(P_)
+    opt = Optimizer(type="Adam", lr=1e-3)
+    step = _steps.make_kg_train_step(KG_MODELS["RotatE"], opt, 4, 6.0, 2.0,
+                                     1.0)
+    trainer = ReplicatedKGTrainer(mesh, dim, step, opt, batch_size=128,
+                                  ep_batches=4)
+    rng = np.random.default_rng(0)
+    ent = rng.uniform(-0.1, 0.1, (kg.num_vertex, dim)).astype(np.float32)
+    rel = rng.uniform(-np.pi, np.pi, (kg.num_relation, dim)).astype(np.float32)
+    tables, moments = trainer.init_state((ent, rel))
+    edges = trainer.init_edges(kg)
+    losses_all = []
+    for e in range(6):
+        tables, moments, losses = trainer.run_episode(
+            tables, moments, edges, e * 4, 100, seed=e)
+        losses_all.append(np.asarray(losses).mean())
+    ent_out = np.asarray(tables[0])
+    assert np.isfinite(ent_out).all()
+    assert losses_all[-1] < losses_all[0]
+    # tables must be identical across devices (replicated after psum)
+    assert not np.allclose(ent_out, ent)  # actually trained
