@@ -68,10 +68,11 @@ def run_config(cfg, do_eval=True, num_epoch=None):
     resource.pop("gpus", None)
     resource.pop("cpu_per_gpu", None)
     app = Application(cfg["application"], **resource)
-    fmt = cfg.get("format", {})
     load_kwargs = dict(cfg.get("graph", {}))
-    if "delimiters" in fmt and "file_name" in load_kwargs:
-        load_kwargs.setdefault("delimiters", None)  # whitespace default
+    if "file_name" in load_kwargs:
+        # the `format` section supplies parser options (cmd.py:118-124)
+        for k, v in cfg.get("format", {}).items():
+            load_kwargs.setdefault(k, v)
     app.load(**load_kwargs)
     app.build(**cfg.get("build", {}))
     if "load" in cfg:
