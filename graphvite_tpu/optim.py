@@ -127,46 +127,77 @@ def make_optimizer(spec, default: Optional[Optimizer] = None, **kwargs) -> Optim
 
 
 # ---------------------------------------------------------------------------
-# moment update rules (per unique row; g = summed regularized gradient)
+# moment update rules (per unique row)
+#
+# The reference applies one moment update PER SAMPLE TOUCH inside its hogwild
+# kernels; a batched step sees each touched row once with the summed gradient
+# g and a touch count c. To preserve the reference's moment dynamics (with
+# beta1 = 0.999 a per-batch update would take ~1000x longer to warm up), each
+# rule applies c sequential touch-updates in closed form, treating the c
+# per-touch gradients as equal to the mean ghat = g / c:
+#     m' = beta^c m + (1 - beta^c) ghat        (EMA rules)
+#     delta_total ~= c * per_touch_delta(ghat, m')
 # ---------------------------------------------------------------------------
 
-def _sgd_delta(opt, lr, g):
+def _sgd_delta(opt, lr, g, c):
     return lr * g, ()
 
 
-def _momentum_delta(opt, lr, g, m1):
-    new_m1 = opt.momentum * m1 + (1 - opt.momentum) * g
-    return lr * new_m1, (new_m1,)
+def _one_minus_pow(beta, c):
+    """1 - beta**c without the f32 cancellation (beta ~ 1): -expm1(c log b)."""
+    import math
+    return -jnp.expm1(c * math.log(beta))
 
 
-def _adagrad_delta(opt, lr, g, m1):
-    new_m1 = m1 + g * g
-    return lr * g / (jnp.sqrt(new_m1) + opt.epsilon), (new_m1,)
+def _momentum_delta(opt, lr, g, c, m1):
+    ghat = g / c
+    w = _one_minus_pow(opt.momentum, c)
+    new_m1 = (1 - w) * m1 + w * ghat
+    return lr * c * new_m1, (new_m1,)
 
 
-def _rmsprop_delta(opt, lr, g, m1):
-    new_m1 = opt.alpha * m1 + (1 - opt.alpha) * g * g
-    return lr * g / jnp.sqrt(new_m1 + opt.epsilon), (new_m1,)
+def _adagrad_delta(opt, lr, g, c, gsq, m1):
+    ghat = g / c
+    new_m1 = m1 + gsq  # exact: sum of per-touch squared gradients
+    return lr * c * ghat / (jnp.sqrt(new_m1) + opt.epsilon), (new_m1,)
 
 
-def _adam_delta(opt, lr, g, m1, m2):
-    new_m1 = opt.beta1 * m1 + (1 - opt.beta1) * g
-    new_m2 = opt.beta2 * m2 + (1 - opt.beta2) * g * g
-    return lr * new_m1 / (jnp.sqrt(new_m2) + opt.epsilon), (new_m1, new_m2)
+def _rmsprop_delta(opt, lr, g, c, gsq, m1):
+    ghat = g / c
+    w = _one_minus_pow(opt.alpha, c)
+    new_m1 = (1 - w) * m1 + w * gsq / c
+    return lr * c * ghat / jnp.sqrt(new_m1 + opt.epsilon), (new_m1,)
 
 
-def moment_delta(opt: Optimizer, lr, g, moments):
-    """delta such that param_new = param - lr_scale * delta; also new moments."""
+def _adam_delta(opt, lr, g, c, gsq, m1, m2):
+    ghat = g / c
+    w1 = _one_minus_pow(opt.beta1, c)
+    w2 = _one_minus_pow(opt.beta2, c)
+    new_m1 = (1 - w1) * m1 + w1 * ghat
+    new_m2 = (1 - w2) * m2 + w2 * gsq / c  # mean of per-touch squares
+    return lr * c * new_m1 / (jnp.sqrt(new_m2) + opt.epsilon), (new_m1, new_m2)
+
+
+def moment_delta(opt: Optimizer, lr, g, moments, c=1.0, gsq=None):
+    """delta such that param_new = param - lr_scale * delta; also new moments.
+
+    g:   summed regularized gradient over the row's touches
+    c:   touch count
+    gsq: summed per-touch SQUARED gradients (second-moment rules need the
+         mean of squares; the square of the mean systematically
+         underestimates it when per-touch gradients fluctuate)."""
     if opt.type == "SGD":
-        return _sgd_delta(opt, lr, g)
+        return _sgd_delta(opt, lr, g, c)
     if opt.type == "Momentum":
-        return _momentum_delta(opt, lr, g, *moments)
+        return _momentum_delta(opt, lr, g, c, *moments)
+    if gsq is None:
+        gsq = g * g / c
     if opt.type == "AdaGrad":
-        return _adagrad_delta(opt, lr, g, *moments)
+        return _adagrad_delta(opt, lr, g, c, gsq, *moments)
     if opt.type == "RMSprop":
-        return _rmsprop_delta(opt, lr, g, *moments)
+        return _rmsprop_delta(opt, lr, g, c, gsq, *moments)
     if opt.type == "Adam":
-        return _adam_delta(opt, lr, g, *moments)
+        return _adam_delta(opt, lr, g, c, gsq, *moments)
     raise ValueError(opt.type)
 
 
@@ -177,9 +208,9 @@ def moment_delta(opt: Optimizer, lr, g, moments):
 def dedup_rows(ids, grads):
     """Sum `grads` over duplicate `ids` with static shapes.
 
-    Returns (uids, gsum) both of length len(ids); slots beyond the number of
-    unique ids carry uid == num_rows-sentinel (ids.max+1 won't do — we use a
-    huge value) and zero grads, and are dropped by scatter mode='drop'.
+    Returns (uids, gsum, counts) each of length len(ids); slots beyond the
+    number of unique ids carry a huge sentinel uid, zero grads and count 1,
+    and are dropped by scatter mode='drop'.
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -188,9 +219,13 @@ def dedup_rows(ids, grads):
     head = jnp.concatenate([jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]])
     seg = jnp.cumsum(head) - 1  # segment index of each touch
     gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
+    gsq = jax.ops.segment_sum(sg * sg, seg, num_segments=n)
+    counts = jax.ops.segment_sum(jnp.ones((n,), grads.dtype), seg,
+                                 num_segments=n)
+    counts = jnp.maximum(counts, 1.0)
     sentinel = jnp.iinfo(jnp.int32).max
     uids = jnp.full((n,), sentinel, dtype=sid.dtype).at[seg].set(sid)
-    return uids, gsum
+    return uids, gsum, counts, gsq
 
 
 def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
@@ -211,10 +246,11 @@ def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
         delta = (lr * lr_scale) * reg_grads
         return table.at[ids].add(-delta.astype(table.dtype)), moments
 
-    uids, gsum = dedup_rows(ids, reg_grads)
+    uids, gsum, counts, gsq = dedup_rows(ids, reg_grads)
     cuids = jnp.minimum(uids, table.shape[0] - 1)  # safe gather; scatter drops
     mrows = tuple(m[cuids] for m in moments)
-    delta, new_mrows = moment_delta(opt, lr, gsum, mrows)
+    delta, new_mrows = moment_delta(opt, lr, gsum, mrows, counts[:, None],
+                                    gsq)
     new_table = table.at[uids].add(-(lr_scale * delta).astype(table.dtype), mode="drop")
     new_moments = tuple(
         m.at[uids].set(nm.astype(m.dtype), mode="drop")

@@ -1,0 +1,154 @@
+"""End-to-end application pipeline tests (load -> build -> train -> evaluate
+-> save/load), mirroring the reference's quick-start flows on synthetic data."""
+import os
+
+import numpy as np
+import pytest
+
+import graphvite_tpu.application as gap
+
+
+def community_edges(n=80, seed=0):
+    rng = np.random.default_rng(seed)
+    half = n // 2
+    edges = []
+    for _ in range(n * 10):
+        blk = rng.integers(2)
+        u, v = rng.integers(half, size=2) + blk * half
+        if u != v:
+            edges.append((str(u), str(v)))
+    for _ in range(n // 4):
+        edges.append((str(rng.integers(half)), str(rng.integers(half) + half)))
+    return edges, half
+
+
+def test_graph_application_end_to_end(tmp_path):
+    edges, half = community_edges()
+    app = gap.GraphApplication(dim=16)
+    app.load(edge_list=edges)
+    app.build(optimizer=dict(type="SGD", lr=0.05), num_negative=2,
+              batch_size=256, episode_size=4)
+    app.train(model="LINE", num_epoch=300, augmentation_step=1,
+              negative_weight=1.0, log_frequency=10**9)
+
+    # link prediction on held-out same-block pairs vs cross-block negatives
+    rng = np.random.default_rng(1)
+    H, T, Y = [], [], []
+    for _ in range(150):
+        u, v = rng.integers(half, size=2)
+        H.append(str(u)); T.append(str(v)); Y.append(1)
+        H.append(str(rng.integers(half)))
+        T.append(str(rng.integers(half) + half)); Y.append(0)
+    res = app.evaluate("link prediction", H=H, T=T, Y=Y)
+    assert res["AUC"] > 0.7
+
+    # node classification by block label
+    X = [str(i) for i in range(2 * half)]
+    Y = ["a" if i < half else "b" for i in range(2 * half)]
+    res = app.evaluate("node classification", X=X, Y=Y, portions=(0.5,),
+                       patience=20)
+    assert res["micro-F1@50%"] > 0.8
+
+    # save / load round trip with name remapping
+    f = str(tmp_path / "model.pkl")
+    app.save_model(f)
+    app2 = gap.GraphApplication(dim=16)
+    app2.load(edge_list=edges[::-1])  # different id order
+    app2.build(batch_size=256, episode_size=4)
+    app2.load_model(f)
+    n2i_a, n2i_b = app.graph.name2id, app2.graph.name2id
+    va = app.solver.vertex_embeddings
+    vb = app2.solver.vertex_embeddings
+    for name in list(n2i_a)[:10]:
+        np.testing.assert_allclose(va[n2i_a[name]], vb[n2i_b[name]],
+                                   rtol=1e-6)
+
+
+def math_triplets(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    trips = []
+    for _ in range(n):
+        x = int(rng.integers(50))
+        c = int(rng.integers(1, 6))
+        trips.append((str(x), "+%d" % c, str((x + c) % 50)))
+    return trips
+
+
+def test_kg_application_end_to_end(tmp_path):
+    trips = math_triplets()
+    app = gap.KnowledgeGraphApplication(dim=32)
+    app.load(triplet_list=trips)
+    app.build(optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+              batch_size=256, episode_size=8)
+    app.train(model="RotatE", num_epoch=300, margin=6.0,
+              log_frequency=10**9)
+
+    test_trips = math_triplets(n=100, seed=7)
+    H = [t[0] for t in test_trips]
+    R = [t[1] for t in test_trips]
+    T = [t[2] for t in test_trips]
+    res = app.evaluate("link prediction", H=H, R=R, T=T, target="tail")
+    assert res["MRR"] > 0.2
+    assert res["MR"] < 15
+
+    recalls = app.entity_prediction(H=H[:5], R=R[:5], T=T[:5], target="tail",
+                                    k=5)
+    assert len(recalls) == 5 and len(recalls[0]) == 5
+
+    f = str(tmp_path / "kg.pkl")
+    app.save_model(f)
+    app2 = gap.KnowledgeGraphApplication(dim=32)
+    app2.load(triplet_list=trips[::-1])
+    app2.build(batch_size=256, episode_size=8)
+    app2.load_model(f)
+    e2i_a, e2i_b = app.graph.entity2id, app2.graph.entity2id
+    ea = app.solver.entity_embeddings
+    eb = app2.solver.entity_embeddings
+    for name in list(e2i_a)[:10]:
+        np.testing.assert_allclose(ea[e2i_a[name]], eb[e2i_b[name]],
+                                   rtol=1e-6)
+
+
+def test_visualization_application(tmp_path):
+    rng = np.random.default_rng(0)
+    # three well-separated gaussian clusters in 10-D
+    centers = rng.standard_normal((3, 10)) * 8
+    vectors = np.concatenate([
+        centers[i] + rng.standard_normal((60, 10)) for i in range(3)])
+    labels = np.repeat(np.arange(3), 60)
+    app = gap.VisualizationApplication(dim=2)
+    app.load(vectors=vectors, num_neighbor=15, perplexity=10)
+    app.build(optimizer=dict(type="Adam", lr=0.3), num_negative=4,
+              batch_size=256, episode_size=4)
+    app.train(num_epoch=150, log_frequency=10**9)
+    coords = app.solver.coordinates
+    assert np.isfinite(coords).all()
+    # same-cluster distances smaller than cross-cluster
+    d_same, d_cross = [], []
+    for _ in range(300):
+        i, j = rng.integers(len(coords), size=2)
+        d = np.sum((coords[i] - coords[j]) ** 2)
+        (d_same if labels[i] == labels[j] else d_cross).append(d)
+    assert np.mean(d_same) < np.mean(d_cross)
+    out = app.evaluate("visualization", Y=labels,
+                       save_file=str(tmp_path / "vis.png"))
+    assert out.shape == coords.shape
+
+
+def test_word_graph_application(tmp_path):
+    corpus = tmp_path / "corpus.txt"
+    rng = np.random.default_rng(0)
+    topics = [["apple", "banana", "cherry", "fruit"],
+              ["dog", "cat", "horse", "animal"]]
+    with open(corpus, "w") as f:
+        for _ in range(400):
+            words = rng.choice(topics[rng.integers(2)], size=8)
+            f.write(" ".join(words) + "\n")
+    app = gap.WordGraphApplication(dim=16)
+    app.load(file_name=str(corpus), window=3, min_count=2)
+    assert app.graph.num_vertex == 8
+    app.build(batch_size=256, episode_size=4)
+    app.train(model="LINE", num_epoch=100, augmentation_step=1,
+              log_frequency=10**9)
+    v = app.solver.vertex_embeddings
+    assert np.isfinite(v).all()

@@ -73,8 +73,8 @@ def test_duplicate_rows_accumulate_sgd():
 
 
 def test_duplicate_rows_single_moment_update():
-    """Duplicate touches are summed BEFORE the moment update (one Adam step
-    per unique row per batch)."""
+    """Duplicate touches apply c sequential per-touch moment updates in
+    closed form (the reference updates moments once per hogwild touch)."""
     opt = Optimizer(type="Adam", lr=0.1, weight_decay=0.0)
     V, D = 4, 2
     table = jnp.ones((V, D))
@@ -82,13 +82,14 @@ def test_duplicate_rows_single_moment_update():
     ids = jnp.array([2, 2, 2], dtype=jnp.int32)
     grads = jnp.ones((3, D)) * 0.5
     new_table, new_m = apply_row_updates(table, m, ids, grads, opt, 0.1)
-    g = 1.5  # summed
-    m1 = (1 - opt.beta1) * g
-    m2 = (1 - opt.beta2) * g * g
-    d = 0.1 * m1 / (np.sqrt(m2) + opt.epsilon)
-    np.testing.assert_allclose(np.asarray(new_table[2]), 1 - d, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(new_m[0][2]), m1, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(new_m[1][2]), m2, rtol=1e-6)
+    c, ghat = 3.0, 0.5
+    m1 = -np.expm1(c * np.log(opt.beta1)) * ghat
+    m2 = -np.expm1(c * np.log(opt.beta2)) * ghat * ghat
+    d = 0.1 * c * m1 / (np.sqrt(m2) + opt.epsilon)
+    # beta**c evaluates in f32 on device -> ~1e-4 relative tolerance
+    np.testing.assert_allclose(np.asarray(new_table[2]), 1 - d, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_m[0][2]), m1, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_m[1][2]), m2, rtol=1e-3)
     # untouched rows unchanged
     np.testing.assert_allclose(np.asarray(new_table[0]), 1.0)
     np.testing.assert_allclose(np.asarray(new_m[0][0]), 0.0)
@@ -97,12 +98,20 @@ def test_duplicate_rows_single_moment_update():
 def test_dedup_rows():
     ids = jnp.array([5, 3, 5, 1, 3], dtype=jnp.int32)
     grads = jnp.arange(5, dtype=jnp.float32)[:, None] * jnp.ones((5, 2))
-    uids, gsum = dedup_rows(ids, grads)
+    uids, gsum, counts, gsq = dedup_rows(ids, grads)
     uids = np.asarray(uids)
     gsum = np.asarray(gsum)
+    gsq = np.asarray(gsq)
+    counts = np.asarray(counts)
     got = {int(u): gsum[i, 0] for i, u in enumerate(uids)
            if u != np.iinfo(np.int32).max}
     assert got == {1: 3.0, 3: 1.0 + 4.0, 5: 0.0 + 2.0}
+    got_c = {int(u): counts[i] for i, u in enumerate(uids)
+             if u != np.iinfo(np.int32).max}
+    assert got_c == {1: 1.0, 3: 2.0, 5: 2.0}
+    got_sq = {int(u): gsq[i, 0] for i, u in enumerate(uids)
+              if u != np.iinfo(np.int32).max}
+    assert got_sq == {1: 9.0, 3: 1.0 + 16.0, 5: 0.0 + 4.0}
 
 
 def test_relation_lr_scale_scales_delta_not_moments():

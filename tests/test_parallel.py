@@ -58,7 +58,7 @@ def test_block_tables_cover_all_edges():
             assert (t_local < part.capacity).all()
 
 
-def _train_sharded(g, num_epoch=400, dim=16, P=8, batch=256, seed=0):
+def _train_sharded(g, num_epoch=800, dim=16, P=4, batch=256, seed=0):
     mesh = make_mesh(P)
     part = VertexPartition(np.asarray(g.degrees), P)
     opt = Optimizer(type="SGD", lr=0.025, weight_decay=5e-3)
@@ -91,19 +91,27 @@ def _train_sharded(g, num_epoch=400, dim=16, P=8, batch=256, seed=0):
 
 
 def test_sharded_training_learns():
-    g = two_blocks()
+    g = two_blocks(100)
     v, c, first_loss, last_loss = _train_sharded(g)
     assert np.isfinite(v).all() and np.isfinite(c).all()
     assert last_loss < first_loss  # training reduces the loss
-    # same-block pairs should score higher than cross-block pairs
+    # AUC of true edges vs random cross-block pairs (cross edges are rare),
+    # matching the quality bar of the single-device LINE test
     rng = np.random.default_rng(1)
     half = g.num_vertex // 2
-    same = [(rng.integers(half), rng.integers(half)) for _ in range(200)]
-    cross = [(rng.integers(half), rng.integers(half) + half)
-             for _ in range(200)]
-    def score(pairs):
-        return np.array([(v[a] * c[b]).sum() for a, b in pairs])
-    assert score(same).mean() > score(cross).mean()
+    k = 300
+    sel = rng.choice(g.num_directed_edge, size=k, replace=False)
+    pos = np.stack([g.edge_heads[sel], g.edge_tails[sel]], axis=1)
+    neg = np.stack([rng.integers(half, size=k),
+                    rng.integers(half, size=k) + half], axis=1)
+    pairs = np.concatenate([pos, neg])
+    labels = np.array([1] * k + [0] * k)
+    scores = np.einsum("ij,ij->i", v[pairs[:, 0]], c[pairs[:, 1]])
+    order = np.argsort(-scores, kind="stable")
+    y = labels[order]
+    hit = np.cumsum(y)
+    auc = hit[y == 0].sum() / float((y == 0).sum() * (y == 1).sum())
+    assert auc > 0.8
 
 
 def test_rotation_bookkeeping():
@@ -158,12 +166,12 @@ def test_replicated_kg_trainer():
     tables, moments = trainer.init_state((ent, rel))
     edges = trainer.init_edges(kg)
     losses_all = []
-    for e in range(6):
+    for e in range(10):
         tables, moments, losses = trainer.run_episode(
-            tables, moments, edges, e * 4, 100, seed=e)
+            tables, moments, edges, e * 4, 200, seed=e)
         losses_all.append(np.asarray(losses).mean())
     ent_out = np.asarray(tables[0])
     assert np.isfinite(ent_out).all()
-    assert losses_all[-1] < losses_all[0]
+    assert np.mean(losses_all[-3:]) < np.mean(losses_all[:3])
     # tables must be identical across devices (replicated after psum)
     assert not np.allclose(ent_out, ent)  # actually trained
