@@ -23,8 +23,11 @@ from graphvite_tpu.utils.common import auto, logger, assert_in, Monitor
 class ApplicationMixin:
     """Pipeline skeleton (ref application.py:38-241)."""
 
-    def __init__(self, dim, gpus=None, cpu_per_gpu=auto, float_type=np.float32,
-                 index_type=np.int32, **kwargs):
+    def __init__(self, dim, gpus=None, cpu_per_gpu=auto, float_type=None,
+                 index_type=None, **kwargs):
+        from graphvite_tpu import base as _base
+        float_type = float_type or _base.float_type
+        index_type = index_type or _base.index_type
         self.dim = dim
         self.gpus = gpus or []
         self.cpu_per_gpu = cpu_per_gpu
@@ -111,8 +114,17 @@ class ApplicationMixin:
     def set_model_state(self, state):
         raise NotImplementedError
 
-    def save_model(self, file_name):
+    def save_model(self, file_name, save_hyperparameter=False):
         state = self.model_state()
+        if save_hyperparameter:
+            # optional hyperparameter snapshot (ref application.py:152-163)
+            state["hyperparameters"] = {
+                "dim": self.dim,
+                "optimizer": getattr(self.solver, "optimizer", None),
+                "model": getattr(self.solver, "model", None),
+                "num_negative": getattr(self.solver, "num_negative", None),
+                "batch_size": getattr(self.solver, "batch_size", None),
+            }
         with open(file_name, "wb") as f:
             pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
         logger.info("saved model to %s", file_name)

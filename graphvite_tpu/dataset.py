@@ -28,10 +28,9 @@ from collections import defaultdict
 import numpy as np
 
 from graphvite_tpu.utils.common import logger
+from graphvite_tpu import base as _base
 
-DATASET_PATH = os.environ.get(
-    "GRAPHVITE_DATASET_PATH",
-    os.path.expanduser("~/.graphvite_tpu/dataset"))
+DATASET_PATH = _base.dataset_path
 
 
 # ---------------------------------------------------------------------------
