@@ -593,23 +593,94 @@ class MNIST(Dataset):
 
 
 class CIFAR10(Dataset):
-    """CIFAR10 raw pixels (ref dataset.py:796-862)."""
+    """CIFAR10 raw pixels (ref dataset.py:796-862). Splits: image_data,
+    label_data (train + test concatenated, .npy)."""
 
-    urls = {k: "https://www.cs.toronto.edu/~kriz/cifar-10-binary.tar.gz"
-            for k in ("image_data", "label_data")}
+    URL = "https://www.cs.toronto.edu/~kriz/cifar-10-binary.tar.gz"
+    urls = {"image_data": URL, "label_data": URL}
 
     def __init__(self):
         super().__init__("cifar10")
 
+    def _load_batches(self):
+        root = self.extract(self.download(self.URL))
+        batch_dir = os.path.join(self.path, "cifar-10-batches-bin")
+        names = ["data_batch_%d.bin" % i for i in range(1, 6)] + \
+                ["test_batch.bin"]
+        images, labels = [], []
+        for name in names:
+            raw = np.fromfile(os.path.join(batch_dir, name), dtype=np.uint8)
+            raw = raw.reshape(-1, 3073)
+            labels.append(raw[:, 0])
+            images.append(raw[:, 1:].reshape(-1, 3, 32, 32)
+                          .transpose(0, 2, 3, 1))
+        return np.concatenate(images), np.concatenate(labels)
+
+    def get_file(self, key):
+        if key not in ("image_data", "label_data"):
+            return super().get_file(key)
+        npy = self.relpath("%s_%s.npy" % (self.name, key))
+        if os.path.basename(npy) in self.local_files():
+            return npy
+        os.makedirs(self.path, exist_ok=True)
+        images, labels = self._load_batches()
+        np.save(self.relpath("%s_image_data.npy" % self.name), images)
+        np.save(self.relpath("%s_label_data.npy" % self.name), labels)
+        return npy
+
+
+def image_feature_data(images, model="resnet50", batch_size=128):
+    """Extract penultimate-layer CNN features for LargeVis input
+    (ref dataset.py:363-398): torch resnet50 features over [N, H, W, 3]
+    uint8 images, ImageNet-normalized."""
+    import torch
+    import torchvision.models as tvm
+
+    net = getattr(tvm, model)(weights="IMAGENET1K_V1")
+    net.fc = torch.nn.Identity()
+    net.eval()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    feats = []
+    with torch.no_grad():
+        for i in range(0, len(images), batch_size):
+            x = torch.as_tensor(np.asarray(images[i:i + batch_size],
+                                           dtype=np.float32) / 255.0)
+            if x.ndim == 3:  # grayscale -> RGB
+                x = x[:, None].repeat(1, 3, 1, 1)
+            else:
+                x = x.permute(0, 3, 1, 2)
+            x = (x - mean) / std
+            feats.append(net(x).numpy())
+    return np.concatenate(feats)
+
 
 class ImageNet(Dataset):
-    """ImageNet ILSVRC2012 (ref dataset.py:864-1063); feature extraction via
-    a torch resnet50 is provided by `image_feature_data` in applications."""
+    """ImageNet ILSVRC2012 (ref dataset.py:864-1063). The raw archives need
+    image-net.org credentials; `feature_data` expects the extracted images
+    under the dataset path and runs resnet50 feature extraction."""
 
     urls = {}
 
     def __init__(self):
         super().__init__("imagenet")
+
+    def feature_data_preprocess(self, save_file):
+        image_file = self.relpath("imagenet_image_data.npy")
+        if not os.path.isfile(image_file):
+            raise RuntimeError(
+                "place preprocessed images at %s (ImageNet needs manual "
+                "download credentials)" % image_file)
+        np.save(save_file, image_feature_data(np.load(image_file)))
+
+    def get_file(self, key):
+        if key == "feature_data":
+            npy = self.relpath("imagenet_feature_data.npy")
+            if os.path.basename(npy) not in self.local_files():
+                os.makedirs(self.path, exist_ok=True)
+                self.feature_data_preprocess(npy)
+            return npy
+        return super().get_file(key)
 
 
 # ---------------------------------------------------------------------------
