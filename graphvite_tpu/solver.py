@@ -219,6 +219,35 @@ class SolverBase:
     def table(self, i):
         return np.asarray(self.state["tables"][i])
 
+    def save_checkpoint(self, file_name):
+        """Mid-training checkpoint: tables + optimizer moments + batch
+        counter (the reference can only resume from whole-table snapshots,
+        solver.h:606-611; this preserves moment state too)."""
+        import pickle
+
+        state_np = jax.tree_util.tree_map(np.asarray, self.state)
+        with open(file_name, "wb") as f:
+            pickle.dump({"state": state_np, "batch_id": self.batch_id,
+                         "num_batch": self.num_batch, "model": self.model,
+                         "optimizer": self.optimizer}, f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        logger.info("checkpoint saved to %s (batch %d)", file_name,
+                    self.batch_id)
+
+    def load_checkpoint(self, file_name):
+        import pickle
+
+        with open(file_name, "rb") as f:
+            ckpt = pickle.load(f)
+        self.state = jax.tree_util.tree_map(jnp.asarray, ckpt["state"])
+        self.batch_id = ckpt["batch_id"]
+        self.num_batch = ckpt["num_batch"]
+        self.model = ckpt["model"]
+        self.optimizer = ckpt["optimizer"]
+        logger.info("checkpoint loaded from %s (batch %d)", file_name,
+                    self.batch_id)
+        return self
+
     def clear(self):
         self.state = None
 

@@ -64,6 +64,21 @@ class Monitor:
         return {k: {"total_s": t, "calls": c} for k, (t, c) in self.records.items()}
 
 
+@contextlib.contextmanager
+def device_profile(trace_dir):
+    """Capture a device profile for the enclosed block (the TPU-era analog
+    of the reference's USE_TIMER RAII stages, util/time.h:28-60). View with
+    tensorboard's profile plugin."""
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("device trace written to %s", trace_dir)
+
+
 def recursive_map(obj, fn):
     """Apply fn to every leaf of a nested dict/list structure (ref util.py)."""
     if isinstance(obj, dict):

@@ -112,3 +112,24 @@ def test_visualization_runs():
     assert np.isfinite(coords).all()
     # layout should spread out from the tiny init box
     assert np.abs(coords).max() > 1e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    g = two_blocks(40)
+    s = GraphSolver(dim=8)
+    s.build(g, num_negative=1, batch_size=128, episode_size=2)
+    s.train(model="LINE", num_epoch=20, augmentation_step=1,
+            log_frequency=10**9)
+    f = str(tmp_path / "ckpt.pkl")
+    s.save_checkpoint(f)
+    s2 = GraphSolver(dim=8)
+    s2.build(g, num_negative=1, batch_size=128, episode_size=2)
+    s2.load_checkpoint(f)
+    np.testing.assert_array_equal(s2.vertex_embeddings, s.vertex_embeddings)
+    assert s2.batch_id == s.batch_id
+    # resume continues without reinitializing
+    before = s2.vertex_embeddings.copy()
+    s2.num_batch = s2.batch_id  # nothing left to do
+    s2.train(model="LINE", num_epoch=20, resume=True, augmentation_step=1,
+             log_frequency=10**9)
+    assert np.isfinite(s2.vertex_embeddings).all()
