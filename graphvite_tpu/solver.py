@@ -23,6 +23,7 @@ from graphvite_tpu.models import GRAPH_MODELS, KG_MODELS, LargeVis
 from graphvite_tpu.optim import Optimizer, make_optimizer
 from graphvite_tpu.ops.alias import AliasTable, device_alias_arrays
 from graphvite_tpu.ops import steps as _steps
+from graphvite_tpu.ops import blocked as _blocked
 from graphvite_tpu.ops.device_sampler import (DeviceEdgeSampler,
                                               DeviceWalkSampler)
 from graphvite_tpu.sampler import (EdgeSampler, RandomWalkSampler,
@@ -83,6 +84,7 @@ class SolverBase:
         self.num_negative = int(num_negative)
         self.batch_size = int(batch_size)
         self.episode_size = episode_size
+        self.num_partition = num_partition
         self._allocate()
         return self
 
@@ -129,6 +131,91 @@ class SolverBase:
                 has_relation)
             self._runner_cache[cache_key] = runner
         return runner
+
+    def _train_loop_blocked(self, model_cls, num_epoch, num_partition,
+                            negative_weight, negative_sample_exponent,
+                            log_frequency):
+        """Block-partitioned episodes on one chip (ops/blocked.py): every
+        batch trains one (head, tail) partition block so scatters touch
+        cap x D instead of V x D."""
+        from graphvite_tpu.parallel.mesh import VertexPartition
+
+        num_edge = self.graph.num_edge
+        self.num_batch = max(int(num_epoch * num_edge // self.batch_size), 1)
+        ep_batches = max(min(self._episode_batches(), self.num_batch), 1)
+
+        prep_key = (id(self.graph), "blocked", num_partition,
+                    float(negative_sample_exponent))
+        if getattr(self, "_blocked_key", None) != prep_key:
+            part = VertexPartition(np.asarray(self.graph.degrees),
+                                   num_partition)
+            tables = _blocked.FlatBlockTables(self.graph, part)
+            nprob, nalias, nsizes = part.negative_alias_arrays(
+                np.asarray(self.graph.vertex_weights),
+                negative_sample_exponent)
+            self._blocked_part = part
+            self._blocked_arrays = tables.device_arrays()
+            self._blocked_neg = (jnp.asarray(nprob), jnp.asarray(nalias),
+                                 jnp.asarray(nsizes))
+            self._blocked_key = prep_key
+        part = self._blocked_part
+
+        from graphvite_tpu.parallel.mesh import make_sharded_graph_step
+        step = make_sharded_graph_step(
+            model_cls, self.optimizer, self.num_negative,
+            float(negative_weight))
+        runner_key = ("blocked", self.optimizer, self.num_negative,
+                      float(negative_weight), num_partition,
+                      self.batch_size, ep_batches)
+        if not hasattr(self, "_runner_cache"):
+            self._runner_cache = {}
+        runner = self._runner_cache.get(runner_key)
+        if runner is None:
+            runner = _blocked.make_blocked_runner(
+                step, self.optimizer, num_partition, self.batch_size,
+                ep_batches)
+            self._runner_cache[runner_key] = runner
+
+        # shard the canonical [V, D] state into the [P, cap, D] arena
+        arena = {
+            "tables": tuple(jnp.asarray(part.shard_rows(np.asarray(t)))
+                            for t in self.state["tables"]),
+            "moments": tuple(
+                tuple(jnp.asarray(part.shard_rows(np.asarray(m)))
+                      for m in moms)
+                for moms in self.state["moments"]),
+        }
+        key = jax.random.PRNGKey(self.seed + self.batch_id)
+        num_batch_dev = jnp.int32(self.num_batch)
+        logger.info("training %s: %d batches of %d "
+                    "(blocked episodes of %d batches, %d^2 blocks)",
+                    self.model, self.num_batch, self.batch_size, ep_batches,
+                    num_partition)
+        next_log = log_frequency
+        losses_acc = []
+        while self.batch_id < self.num_batch:
+            key, sub = jax.random.split(key)
+            arena, losses = runner(arena, jnp.int32(self.batch_id),
+                                   num_batch_dev, sub, self._blocked_arrays,
+                                   self._blocked_neg)
+            self.batch_id += ep_batches
+            losses_acc.append(losses)
+            if self.batch_id >= next_log or self.batch_id >= self.num_batch:
+                mean_loss = float(jnp.mean(jnp.concatenate(losses_acc)))
+                logger.info("Batch id: %d / %d, loss = %.6g",
+                            min(self.batch_id, self.num_batch),
+                            self.num_batch, mean_loss)
+                losses_acc = []
+                next_log = self.batch_id + log_frequency
+        # unshard the arena back into canonical [V, D] state
+        self.state = {
+            "tables": tuple(jnp.asarray(part.unshard_rows(np.asarray(t)))
+                            for t in arena["tables"]),
+            "moments": tuple(
+                tuple(jnp.asarray(part.unshard_rows(np.asarray(m)))
+                      for m in moms)
+                for moms in arena["moments"]),
+        }
 
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
@@ -327,6 +414,19 @@ class GraphSolver(SolverBase):
             GRAPH_MODELS[model], self.optimizer, self.num_negative,
             float(negative_weight))
         if self.sampler_backend == "device":
+            num_partition = self.num_partition
+            if num_partition in (auto, None):
+                # blocked episodes bound the scatter's table-scan cost, but
+                # the current XLA lowering copies the arena on every
+                # dynamic_update_slice inside the loop, which costs more
+                # than it saves — opt-in only until that improves
+                num_partition = 1
+            if augmentation_step == 1 and int(num_partition) > 1:
+                self._train_loop_blocked(
+                    GRAPH_MODELS[model], num_epoch, int(num_partition),
+                    float(negative_weight), float(negative_sample_exponent),
+                    log_frequency)
+                return
             if augmentation_step == 1:
                 sampler = self._get_sampler(
                     ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
