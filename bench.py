@@ -58,8 +58,9 @@ def main():
     solver.build(g, num_negative=num_negative, batch_size=batch_size,
                  episode_size=50)
 
-    # warmup run (compile + pipeline fill)
-    solver.train(model="LINE", num_epoch=2, augmentation_step=1,
+    # warmup run (compile + pipeline fill); 3 epochs -> num_batch >= the
+    # episode length so the timed run reuses the same compiled episode
+    solver.train(model="LINE", num_epoch=3, augmentation_step=1,
                  log_frequency=10**9)
     # timed run
     start = time.time()

@@ -358,11 +358,15 @@ class GraphSolver(SolverBase):
         return ((v, self.dim), (v, self.dim))
 
     def init_embeddings(self):
-        """vertex ~ U(-0.5/dim, 0.5/dim), context = 0 (graph.cuh:724-731)."""
+        """vertex ~ U(-0.5/dim, 0.5/dim), context = 0 (graph.cuh:724-731).
+        Generated on device — a host init would upload the whole table."""
         v = self.graph.num_vertex
-        vertex = self._rng.uniform(-0.5 / self.dim, 0.5 / self.dim,
-                                   (v, self.dim)).astype(self.float_type)
-        tables = (jnp.asarray(vertex),
+        key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
+        vertex = jax.random.uniform(
+            key, (v, self.dim), minval=-0.5 / self.dim,
+            maxval=0.5 / self.dim, dtype=jnp.float32).astype(
+                self.float_type.name)
+        tables = (vertex,
                   jnp.zeros((v, self.dim), dtype=self.float_type.name))
         moments = tuple(self.optimizer.init_moments((v, self.dim),
                                                     self.float_type.name)
@@ -504,40 +508,46 @@ class KnowledgeGraphSolver(SolverBase):
         return self.table(1)
 
     def init_embeddings(self, margin=12.0):
-        """Per-model init schemes (knowledge_graph.cuh:567-621)."""
+        """Per-model init schemes (knowledge_graph.cuh:567-621), generated
+        on device to avoid uploading multi-GB entity tables."""
         ne, nr, d = self.graph.num_vertex, self.graph.num_relation, self.dim
-        rng = self._rng
+        dt = self.float_type.name
+        key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
+        ks = jax.random.split(key, 8)
+        U = lambda k, shape, lo, hi: jax.random.uniform(
+            k, shape, minval=lo, maxval=hi, dtype=jnp.float32)
         if self.model == "TransE":
-            ent = rng.uniform(-margin / d, margin / d, (ne, d))
-            rel = rng.uniform(-margin / d, margin / d, (nr, d))
+            ent = U(ks[0], (ne, d), -margin / d, margin / d)
+            rel = U(ks[1], (nr, d), -margin / d, margin / d)
         elif self.model in ("DistMult", "ComplEx", "SimplE"):
-            ent = rng.uniform(-0.5, 0.5, (ne, d))
-            rel = rng.uniform(-0.5, 0.5, (nr, d))
+            ent = U(ks[0], (ne, d), -0.5, 0.5)
+            rel = U(ks[1], (nr, d), -0.5, 0.5)
         elif self.model == "RotatE":
-            ent = rng.uniform(-margin * 2 / d, margin * 2 / d, (ne, d))
-            rel = np.zeros((nr, d))
-            rel[:, : d // 2] = rng.uniform(-np.pi, np.pi, (nr, d // 2))
+            ent = U(ks[0], (ne, d), -margin * 2 / d, margin * 2 / d)
+            phases = U(ks[1], (nr, d // 2), -np.pi, np.pi)
+            rel = jnp.concatenate(
+                [phases, jnp.zeros((nr, d - d // 2), jnp.float32)], axis=1)
         elif self.model == "QuatE":
-            def quat_init(n):
-                m = rng.uniform(-1 / math.sqrt(d / 2), 1 / math.sqrt(d / 2),
-                                (n, d // 4))
-                phase = rng.uniform(-np.pi, np.pi, (n, d // 4))
-                v = rng.uniform(0, 1, (n, d // 4, 3))
-                v /= np.linalg.norm(v, axis=-1, keepdims=True) + 1e-15
-                out = np.empty((n, d // 4, 4))
-                out[..., 0] = m * np.cos(phase)
-                out[..., 1] = m * v[..., 0] * np.sin(phase)
-                out[..., 2] = m * v[..., 1] * np.sin(phase)
-                out[..., 3] = m * v[..., 2] * np.sin(phase)
+            def quat_init(k, n):
+                k1, k2, k3 = jax.random.split(k, 3)
+                m = U(k1, (n, d // 4), -1 / math.sqrt(d / 2),
+                      1 / math.sqrt(d / 2))
+                phase = U(k2, (n, d // 4), -np.pi, np.pi)
+                v = U(k3, (n, d // 4, 3), 0.0, 1.0)
+                v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-15)
+                out = jnp.stack(
+                    [m * jnp.cos(phase),
+                     m * v[..., 0] * jnp.sin(phase),
+                     m * v[..., 1] * jnp.sin(phase),
+                     m * v[..., 2] * jnp.sin(phase)], axis=-1)
                 return out.reshape(n, d)
-            ent = quat_init(ne)
-            rel = quat_init(nr)
+            ent = quat_init(ks[0], ne)
+            rel = quat_init(ks[1], nr)
         else:
             raise ValueError(self.model)
-        tables = (jnp.asarray(ent.astype(self.float_type)),
-                  jnp.asarray(rel.astype(self.float_type)))
-        moments = (self.optimizer.init_moments((ne, d), self.float_type.name),
-                   self.optimizer.init_moments((nr, d), self.float_type.name))
+        tables = (ent.astype(dt), rel.astype(dt))
+        moments = (self.optimizer.init_moments((ne, d), dt),
+                   self.optimizer.init_moments((nr, d), dt))
         self.state = {"tables": tables, "moments": moments}
 
     def train(self, model="RotatE", num_epoch=2000, resume=False,
@@ -612,9 +622,12 @@ class VisualizationSolver(SolverBase):
     def init_embeddings(self):
         """coord ~ U(-5e-5/dim, 5e-5/dim) (visualization.cuh:563-569)."""
         v = self.graph.num_vertex
-        coord = self._rng.uniform(-5e-5 / self.dim, 5e-5 / self.dim,
-                                  (v, self.dim)).astype(self.float_type)
-        self.state = {"tables": (jnp.asarray(coord),),
+        key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
+        coord = jax.random.uniform(
+            key, (v, self.dim), minval=-5e-5 / self.dim,
+            maxval=5e-5 / self.dim,
+            dtype=jnp.float32).astype(self.float_type.name)
+        self.state = {"tables": (coord,),
                       "moments": (self.optimizer.init_moments(
                           (v, self.dim), self.float_type.name),)}
 
