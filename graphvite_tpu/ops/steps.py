@@ -129,13 +129,18 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
 
         neg_ids = jax.random.randint(key, (b, k), 0, 2 * num_entity)
         corrupt_head = neg_ids < num_entity
-        h_neg = jnp.where(corrupt_head, neg_ids, heads[:, None])
-        t_neg = jnp.where(corrupt_head, tails[:, None], neg_ids - num_entity)
-        h_ids = jnp.concatenate([h_neg, heads[:, None]], axis=1)  # [B, K+1]
-        t_ids = jnp.concatenate([t_neg, tails[:, None]], axis=1)
+        cand_ids = jnp.where(corrupt_head, neg_ids, neg_ids - num_entity)
 
-        h = entity[h_ids]                                    # [B, K+1, D]
-        t = entity[t_ids]
+        # gather only the K+2 distinct rows per sample (positive head,
+        # positive tail, K corruption candidates) instead of 2(K+1) — the
+        # corrupted side reuses the candidate row, the other side reuses
+        # the positive row (split-id trick, gpu/knowledge_graph.cuh:65-69)
+        h_pos = entity[heads][:, None, :]                    # [B, 1, D]
+        t_pos = entity[tails][:, None, :]
+        cand = entity[cand_ids]                              # [B, K, D]
+        ch = corrupt_head[..., None]
+        h = jnp.concatenate([jnp.where(ch, cand, h_pos), h_pos], axis=1)
+        t = jnp.concatenate([jnp.where(ch, t_pos, cand), t_pos], axis=1)
         r = relation[rels][:, None, :]                       # [B, 1, D]
         logits = model.score(h, t, r, margin_or_l3)          # [B, K+1]
 
@@ -165,14 +170,23 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         gh, gt, gr = model.backward(h, t, r, gradient, margin_or_l3)
         w = weight[..., None]
         wd = opt.weight_decay
-        reg_h = w * (gh + wd * h)
+        reg_h = w * (gh + wd * h)                            # [B, K+1, D]
         reg_t = w * (gt + wd * t)
         # relation row: one touch per subsample (gr broadcast over K+1)
         reg_r = jnp.sum(w * (gr + wd * r), axis=1)           # [B, D]
 
-        ent_ids = jnp.concatenate([h_ids.reshape(-1), t_ids.reshape(-1)])
-        ent_grads = jnp.concatenate([
-            reg_h.reshape(b * (k + 1), -1), reg_t.reshape(b * (k + 1), -1)])
+        # scatter K+2 rows per sample: candidate rows get the corrupted
+        # side's gradient; the positive head/tail rows accumulate their
+        # positive-pair gradient plus every negative subsample where they
+        # stayed in place
+        cand_grad = jnp.where(ch, reg_h[:, :k], reg_t[:, :k])  # [B, K, D]
+        chf = corrupt_head[..., None].astype(reg_h.dtype)
+        head_grad = reg_h[:, k] + jnp.sum(reg_h[:, :k] * (1 - chf), axis=1)
+        tail_grad = reg_t[:, k] + jnp.sum(reg_t[:, :k] * chf, axis=1)
+        ent_ids = jnp.concatenate(
+            [heads, tails, cand_ids.reshape(-1)])
+        ent_grads = jnp.concatenate(
+            [head_grad, tail_grad, cand_grad.reshape(b * k, -1)])
         new_entity, new_e_moms = apply_row_updates(
             entity, e_moms, ent_ids, ent_grads, opt, lr)
         new_relation, new_r_moms = apply_row_updates(

@@ -155,3 +155,56 @@ def test_rotate_relation_layout():
     g = rand(B)
     _, _, gr = RotatE.backward(h, t, r, g, 12.0)
     assert np.all(np.asarray(gr[..., DIM // 2:]) == 0)
+
+
+def test_kg_step_matches_autodiff():
+    """The restructured K+2-row KG step must produce exactly the SGD update
+    -lr * dL/d(tables) for L = sum_b [softplus(-z_pos) + sum_k w_k *
+    softplus(z_k)] with stop-gradient adversarial weights (wd = 0)."""
+    import jax
+    import jax.numpy as jnp
+    from graphvite_tpu.ops import steps as _steps
+    from graphvite_tpu.optim import Optimizer
+    from graphvite_tpu.models import KG_MODELS
+
+    rng = np.random.default_rng(0)
+    V, R, D, B, K = 12, 3, 8, 16, 4
+    ent = jnp.asarray(rng.standard_normal((V, D), dtype=np.float32))
+    rel = jnp.asarray(rng.standard_normal((R, D), dtype=np.float32))
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, R, B), jnp.int32)
+    key = jax.random.PRNGKey(7)
+    lr, margin, at = 0.1, 4.0, 2.0
+    model = KG_MODELS["RotatE"]
+    opt = Optimizer(type="SGD", lr=lr, weight_decay=0.0)
+    step = _steps.make_kg_train_step(model, opt, K, margin, at, 1.0)
+    state = {"tables": (ent, rel), "moments": ((), ())}
+    new_state, _ = step(state, heads, tails, rels, key, lr)
+
+    # replicate the negative draw deterministically
+    neg_ids = jax.random.randint(key, (B, K), 0, 2 * V)
+    corrupt_head = neg_ids < V
+    cand = jnp.where(corrupt_head, neg_ids, neg_ids - V)
+
+    def total_loss(ent, rel):
+        h_pos = ent[heads][:, None, :]
+        t_pos = ent[tails][:, None, :]
+        c = ent[cand]
+        ch = corrupt_head[..., None]
+        h = jnp.concatenate([jnp.where(ch, c, h_pos), h_pos], axis=1)
+        t = jnp.concatenate([jnp.where(ch, t_pos, c), t_pos], axis=1)
+        r = rel[rels][:, None, :]
+        z = model.score(h, t, r, margin)
+        w = jax.lax.stop_gradient(
+            jnp.minimum(jax.nn.softmax(z[:, :K] / at, axis=-1), 1.0))
+        return jnp.sum(jax.nn.softplus(-z[:, K])
+                       + jnp.sum(w * jax.nn.softplus(z[:, :K]), axis=-1))
+
+    ge, gr = jax.grad(total_loss, argnums=(0, 1))(ent, rel)
+    np.testing.assert_allclose(np.asarray(new_state["tables"][0]),
+                               np.asarray(ent - lr * ge), rtol=2e-4,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(new_state["tables"][1]),
+                               np.asarray(rel - lr * gr), rtol=2e-4,
+                               atol=2e-6)
