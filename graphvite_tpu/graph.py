@@ -46,18 +46,30 @@ def _factorize(names):
     return codes, uniques
 
 
+def _make_tokenizer(delimiters):
+    """`delimiters` is a SET of separator characters (strtok semantics,
+    ref graph.cuh load_file), not a literal separator string."""
+    if not delimiters:
+        return lambda line: line.split()
+    import re
+
+    pattern = re.compile("[%s]+" % re.escape(delimiters))
+    return lambda line: [t for t in pattern.split(line) if t]
+
+
 def _parse_edge_file(file_name, num_columns, delimiters=None, comment="#"):
     """Parse a whitespace-delimited edge file into string columns + optional
     weight column. num_columns = required name columns (2 graph / 3 KG)."""
     cols = [[] for _ in range(num_columns)]
     weights = []
+    tokenize = _make_tokenizer(delimiters)
     with open(file_name, "r") as f:
         for lineno, line in enumerate(f, 1):
             if comment:
                 ci = line.find(comment)
                 if ci >= 0:
                     line = line[:ci]
-            parts = line.split(delimiters) if delimiters else line.split()
+            parts = tokenize(line)
             if not parts:
                 continue
             if len(parts) < num_columns or len(parts) > num_columns + 1:

@@ -122,13 +122,15 @@ class KNNGraph:
 
     def load_file(self, file_name, num_neighbor=200, perplexity=50,
                   vector_normalization=True, delimiters=None, comment="#"):
+        from graphvite_tpu.graph import _make_tokenizer
+        tokenize = _make_tokenizer(delimiters)
         rows = []
         with open(file_name) as f:
             for line in f:
                 ci = line.find(comment)
                 if ci >= 0:
                     line = line[:ci]
-                parts = line.split(delimiters) if delimiters else line.split()
+                parts = tokenize(line)
                 if parts:
                     rows.append([float(p) for p in parts])
         return self.load_numpy(np.asarray(rows, dtype=np.float32),

@@ -217,16 +217,33 @@ class SolverBase:
                 for moms in arena["moments"]),
         }
 
+    def _effective_batch(self):
+        """Cap the batch so the step's [B, K+1, D] intermediates fit HBM.
+
+        The reference streams subsamples warp-by-warp and supports
+        batch_size=100000 at dim 2048 x 64 negatives; a batched XLA step
+        materializes ~8 such tensors, so large (K, dim) need micro-batches
+        (same total math, finer-grained updates)."""
+        import os as _os
+        live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
+        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
+        cap = max(int(budget / max(live_bytes, 1)), 512)
+        return min(self.batch_size, cap)
+
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
                            cache_key=None):
         """Fully-fused loop: positives sampled on device inside the scan."""
         num_edge = self.graph.num_edge
-        self.num_batch = max(int(num_epoch * num_edge // self.batch_size), 1)
+        batch_size = self._effective_batch()
+        if batch_size < self.batch_size:
+            logger.info("batch_size %d -> %d to fit step intermediates",
+                        self.batch_size, batch_size)
+        self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
         R = max(int(positive_reuse), 1)
         # clamp so short runs don't overshoot by a whole episode
         ep_groups = max(min(self._episode_batches(), self.num_batch) // R, 1)
-        sample_fn = sampler.make_sample_fn(self.batch_size)
+        sample_fn = sampler.make_sample_fn(batch_size)
         if cache_key is None:
             runner = _steps.make_fused_runner(
                 step_fn, sample_fn, self.optimizer, ep_groups, R,
@@ -239,7 +256,7 @@ class SolverBase:
         key = jax.random.PRNGKey(self.seed + self.batch_id)
         logger.info("training %s: %d batches of %d "
                     "(device episodes of %d x %d batches)",
-                    self.model, self.num_batch, self.batch_size, ep_groups, R)
+                    self.model, self.num_batch, batch_size, ep_groups, R)
         num_batch_dev = jnp.int32(self.num_batch)
         next_log = log_frequency
         losses_acc = []

@@ -24,6 +24,8 @@ class WordGraph(Graph):
         self.normalization = normalization
         self.as_undirected = True
 
+        from graphvite_tpu.graph import _make_tokenizer
+        tokenize = _make_tokenizer(delimiters)
         # pass 1: vocabulary
         freq = {}
         with open(file_name) as f:
@@ -31,7 +33,7 @@ class WordGraph(Graph):
                 ci = line.find(comment)
                 if ci >= 0:
                     line = line[:ci]
-                for word in (line.split(delimiters) if delimiters else line.split()):
+                for word in tokenize(line):
                     freq[word] = freq.get(word, 0) + 1
         id2name = [w for w, c in freq.items() if c >= min_count]
         name2id = {w: i for i, w in enumerate(id2name)}
@@ -47,7 +49,7 @@ class WordGraph(Graph):
                 if ci >= 0:
                     line = line[:ci]
                 sent = [name2id[w] for w in
-                        (line.split(delimiters) if delimiters else line.split())
+                        tokenize(line)
                         if w in name2id]
                 for i, u in enumerate(sent):
                     for j in range(1, window + 1):
