@@ -226,7 +226,7 @@ class SolverBase:
         (same total math, finer-grained updates)."""
         import os as _os
         live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
-        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
+        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 8e9))
         cap = max(int(budget / max(live_bytes, 1)), 512)
         return min(self.batch_size, cap)
 
