@@ -15,36 +15,52 @@ import numpy as np
 from graphvite_tpu.utils.common import EPSILON, auto, logger
 
 
-def exact_knn(vectors: np.ndarray, k: int, row_chunk: int = 4096):
+def exact_knn(vectors: np.ndarray, k: int, row_chunk: int = 4096,
+              exact: bool = False):
     """Top-(k+1) nearest neighbors by squared L2, including self.
 
     Returns (distances, labels) of shape [n, k+1], ascending distance —
     the same contract as faiss' L2 search (visualization.cuh:89-93).
+
+    By default uses the TPU-optimized `approx_max_k` (recall target 0.99 —
+    a sort-based exact top-k is ~10x slower on TPU and LargeVis weights are
+    insensitive to swapping the farthest neighbors); pass exact=True for
+    the full sort.
     """
     import jax
     import jax.numpy as jnp
 
     n, d = vectors.shape
     kk = min(k + 1, n)
-    x = jnp.asarray(vectors, jnp.float32)
+    # pad rows to a whole number of fixed-size chunks (one compiled program)
+    npad = (-n) % row_chunk
+    xs = np.concatenate([vectors, vectors[:1].repeat(npad, 0)]) \
+        if npad else vectors
+    x = jnp.asarray(xs, jnp.float32)
     sq = jnp.sum(x * x, axis=1)
+    # padded duplicate rows must never win a neighbor slot
+    col_sq = jnp.where(jnp.arange(n + npad) >= n, jnp.inf, sq)
 
     @jax.jit
-    def chunk_knn(rows):
-        # [C, n] squared distances via one MXU matmul
-        dots = jnp.dot(x[rows], x.T, preferred_element_type=jnp.float32)
-        d2 = sq[rows][:, None] + sq[None, :] - 2.0 * dots
-        neg_dist, idx = jax.lax.top_k(-d2, kk)
+    def chunk_knn(lo):
+        rows = jax.lax.dynamic_slice_in_dim(x, lo, row_chunk, 0)
+        rsq = jax.lax.dynamic_slice_in_dim(sq, lo, row_chunk, 0)
+        dots = jnp.dot(rows, x.T, preferred_element_type=jnp.float32)
+        d2 = rsq[:, None] + col_sq[None, :] - 2.0 * dots
+        if exact:
+            neg_dist, idx = jax.lax.top_k(-d2, kk)
+        else:
+            neg_dist, idx = jax.lax.approx_max_k(-d2, kk,
+                                                 recall_target=0.99)
         return -neg_dist, idx
 
-    dist = np.empty((n, kk), dtype=np.float32)
-    labels = np.empty((n, kk), dtype=np.int64)
-    for i in range(0, n, row_chunk):
-        rows = jnp.arange(i, min(i + row_chunk, n))
-        dd, ii = chunk_knn(rows)
+    dist = np.empty((n + npad, kk), dtype=np.float32)
+    labels = np.empty((n + npad, kk), dtype=np.int64)
+    for i in range(0, n + npad, row_chunk):
+        dd, ii = chunk_knn(i)
         dist[i:i + row_chunk] = np.asarray(dd)
         labels[i:i + row_chunk] = np.asarray(ii)
-    return dist, labels
+    return dist[:n], labels[:n]
 
 
 def perplexity_weights(distances: np.ndarray, perplexity: float,
