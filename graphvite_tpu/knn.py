@@ -63,6 +63,45 @@ def exact_knn(vectors: np.ndarray, k: int, row_chunk: int = 4096,
     return dist[:n], labels[:n]
 
 
+def perplexity_weights_device(distances, perplexity: float,
+                              num_iteration: int = 100, tol: float = 1e-5):
+    """Device version of the per-row beta bisection (one jitted fori_loop
+    over [n, k] arrays); returns normalized weights [n, k] float32."""
+    import jax
+    import jax.numpy as jnp
+
+    target = float(np.log(perplexity))
+
+    @jax.jit
+    def solve(d):
+        n = d.shape[0]
+        init = (jnp.ones((n,)), jnp.full((n,), -1.0), jnp.full((n,), -1.0))
+
+        def body(_, state):
+            beta, low, high = state
+            w = jnp.exp(-beta[:, None] * d)
+            norm = w.sum(axis=1)
+            entropy = (beta * (d * w).sum(axis=1)) / norm + jnp.log(norm)
+            done = jnp.abs(entropy - target) < tol
+            too_high = (entropy > target) & ~done
+            too_low = (entropy < target) & ~done  # noqa: F841 (symmetry)
+            new_low = jnp.where(too_high, beta, low)
+            new_high = jnp.where(~too_high & ~done, beta, high)
+            # entropy decreases in beta: overshoot -> bisect toward high,
+            # undershoot -> bisect toward low (visualization.cuh:218-231)
+            beta_up = jnp.where(high < 0, beta * 2, (beta + high) / 2)
+            beta_dn = jnp.where(low < 0, beta / 2, (low + beta) / 2)
+            new_beta = jnp.where(done, beta,
+                                 jnp.where(too_high, beta_up, beta_dn))
+            return new_beta, new_low, new_high
+
+        beta, _, _ = jax.lax.fori_loop(0, num_iteration, body, init)
+        w = jnp.exp(-beta[:, None] * d)
+        return w / w.sum(axis=1, keepdims=True)
+
+    return solve(jnp.asarray(distances, jnp.float32))
+
+
 def perplexity_weights(distances: np.ndarray, perplexity: float,
                        num_iteration: int = 100, tol: float = 1e-5):
     """Per-row Gaussian kernel calibration: find beta_i such that the entropy
@@ -89,9 +128,12 @@ def perplexity_weights(distances: np.ndarray, perplexity: float,
         low[too_high] = beta[too_high]
         beta[too_high] = np.where(high[too_high] < 0, beta[too_high] * 2,
                                   (beta[too_high] + high[too_high]) / 2)
+        # bisect toward `low` (the reference midpoints (low + beta) / 2,
+        # visualization.cuh:228-230; using the just-assigned high would
+        # leave beta unchanged)
         high[too_low] = beta[too_low]
         beta[too_low] = np.where(low[too_low] < 0, beta[too_low] / 2,
-                                 (beta[too_low] + high[too_low]) / 2)
+                                 (low[too_low] + beta[too_low]) / 2)
     w = np.exp(-beta[:, None] * d)
     return (w / norm[:, None]).astype(np.float32)
 
@@ -164,7 +206,8 @@ class KNNGraph:
         # drop self (first column)
         dist = dist[:, 1:k + 1]
         labels = labels[:, 1:k + 1]
-        weights = perplexity_weights(dist, self.perplexity)
+        weights = np.asarray(
+            perplexity_weights_device(dist, self.perplexity))
         # reciprocal-edge averaging (visualization.cuh:240-253)
         n = self.num_vertex
         heads = np.repeat(np.arange(n, dtype=np.int64), k)
