@@ -106,31 +106,58 @@ def rank_sum_auc(scores, labels):
 # KG filtered ranking (application.py:829-856, 979-996)
 # ---------------------------------------------------------------------------
 
+# models whose score is LINEAR in the candidate side: one-vs-all scoring
+# becomes q @ entity^T on the MXU (q = d(score)/d(candidate) at gradient 1,
+# reusing the hand-derived backward)
+BILINEAR_MODELS = {"DistMult", "ComplEx", "SimplE", "QuatE"}
+
+
 def kg_score_all(model_name, entity, relation, h, r, t, target,
                  margin_or_l3, chunk=None):
     """Score each triplet against ALL candidate entities in `target` role.
-    Returns a (len(h), num_entity) numpy array. TPU-native one-vs-rest:
-    a batched broadcast score (a dense [B, V] block, MXU-friendly for the
-    multiplicative models) instead of the reference's predict-pool machinery."""
+    Returns a (len(h), num_entity) numpy array.
+
+    Multiplicative models ride the MXU: score(h, t, r) is linear in the
+    candidate row, so scores-vs-all = query @ entity^T where the query is
+    the score gradient wrt the candidate. Distance models (TransE, RotatE)
+    use a chunked broadcast (VPU-bound, like the reference's predict pools).
+    """
     model = KG_MODELS[model_name]
     ent = jnp.asarray(entity)
     rel = jnp.asarray(relation)
-    num_entity = entity.shape[0]
+    num_entity, dim = entity.shape
 
-    @jax.jit
-    def score_heads(hh, rr, tt):
-        return model.score(ent[None, :, :], ent[tt][:, None, :],
-                           rel[rr][:, None, :], margin_or_l3)
+    if model_name in BILINEAR_MODELS:
+        ones = lambda b: jnp.ones((b,), ent.dtype)
 
-    @jax.jit
-    def score_tails(hh, rr, tt):
-        return model.score(ent[hh][:, None, :], ent[None, :, :],
-                           rel[rr][:, None, :], margin_or_l3)
+        @jax.jit
+        def score_mxu(hh, rr, tt):
+            hrow = ent[hh]
+            trow = ent[tt]
+            rrow = rel[rr]
+            gh, gt, _ = model.backward(hrow, trow, rrow,
+                                       ones(hh.shape[0]), 0.0)
+            q = gh if target == "head" else gt
+            return jnp.dot(q, ent.T, preferred_element_type=jnp.float32)
 
-    fn = score_heads if target == "head" else score_tails
-    if chunk is None:
-        # ~256 MiB of [B, V] f32 intermediates per chunk
-        chunk = max(int(256e6 / (num_entity * entity.shape[1] * 4)), 1)
+        fn = score_mxu
+        if chunk is None:
+            chunk = max(int(512e6 / (num_entity * 4)), 16)
+    else:
+        @jax.jit
+        def score_heads(hh, rr, tt):
+            return model.score(ent[None, :, :], ent[tt][:, None, :],
+                               rel[rr][:, None, :], margin_or_l3)
+
+        @jax.jit
+        def score_tails(hh, rr, tt):
+            return model.score(ent[hh][:, None, :], ent[None, :, :],
+                               rel[rr][:, None, :], margin_or_l3)
+
+        fn = score_heads if target == "head" else score_tails
+        if chunk is None:
+            # ~256 MiB of [B, V, D] f32 intermediates per chunk
+            chunk = max(int(256e6 / (num_entity * dim * 4)), 1)
     out = []
     for i in range(0, len(h), chunk):
         hh = jnp.asarray(h[i:i + chunk], jnp.int32)

@@ -208,3 +208,33 @@ def test_kg_step_matches_autodiff():
     np.testing.assert_allclose(np.asarray(new_state["tables"][1]),
                                np.asarray(rel - lr * gr), rtol=2e-4,
                                atol=2e-6)
+
+
+@pytest.mark.parametrize("model", ["DistMult", "ComplEx", "SimplE", "QuatE"])
+def test_kg_score_all_mxu_path_matches_broadcast(model):
+    """The MXU one-vs-all path (q @ entity^T) must equal direct scoring."""
+    from graphvite_tpu.application import evaluate as ev
+    from graphvite_tpu.models import KG_MODELS
+
+    rng = np.random.default_rng(0)
+    V, R, D, B = 20, 4, 8, 6
+    ent = rng.standard_normal((V, D)).astype(np.float32)
+    rel = rng.standard_normal((R, D)).astype(np.float32)
+    h = rng.integers(0, V, B)
+    r = rng.integers(0, R, B)
+    t = rng.integers(0, V, B)
+    for target in ("head", "tail"):
+        fast = ev.kg_score_all(model, ent, rel, h, r, t, target, 0.0)
+        # direct: score every candidate with the plain score function
+        mdl = KG_MODELS[model]
+        import jax.numpy as jnp
+        if target == "head":
+            ref = mdl.score(jnp.asarray(ent)[None, :, :],
+                            jnp.asarray(ent[t])[:, None, :],
+                            jnp.asarray(rel[r])[:, None, :], 0.0)
+        else:
+            ref = mdl.score(jnp.asarray(ent[h])[:, None, :],
+                            jnp.asarray(ent)[None, :, :],
+                            jnp.asarray(rel[r])[:, None, :], 0.0)
+        np.testing.assert_allclose(fast, np.asarray(ref), rtol=2e-4,
+                                   atol=1e-4)
