@@ -1,0 +1,49 @@
+"""KNN graph construction tests (the FAISS replacement, ref
+visualization.cuh:59-412)."""
+import numpy as np
+import pytest
+
+from graphvite_tpu import knn as K
+
+
+def test_exact_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((300, 12)).astype(np.float32)
+    dist, labels = K.exact_knn(v, 8, row_chunk=128)
+    d2 = ((v[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+    for i in range(0, 300, 37):
+        ref = set(np.argsort(d2[i])[:9])
+        got = set(labels[i])
+        assert len(ref & got) >= 8  # allow one approx_max_k swap
+    # first neighbor is self at distance ~0
+    assert (labels[:, 0] == np.arange(300)).all()
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-3)
+    # distances ascending
+    assert (np.diff(dist, axis=1) >= -1e-4).all()
+
+
+def test_perplexity_entropy_hits_target():
+    rng = np.random.default_rng(1)
+    d = rng.random((128, 40)).astype(np.float32) * 3
+    for fn in (K.perplexity_weights, K.perplexity_weights_device):
+        w = np.asarray(fn(d, 15.0))
+        np.testing.assert_allclose(w.sum(1), 1.0, rtol=1e-4)
+        ent = -(w * np.log(w + 1e-12)).sum(1)
+        np.testing.assert_allclose(ent, np.log(15.0), atol=1e-3)
+
+
+def test_knn_graph_reciprocal_weights():
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((60, 5)).astype(np.float32)
+    g = K.KNNGraph().load_numpy(v, num_neighbor=6, perplexity=3)
+    assert g.num_vertex == 60
+    assert g.num_edge == 60 * 6
+    # no self edges
+    assert (g.edge_heads != g.edge_tails).all()
+    # reciprocal pairs carry identical weight (averaged)
+    wmap = {(int(h), int(t)): float(w) for h, t, w in
+            zip(g.edge_heads, g.edge_tails, g.edge_weights)}
+    recip = [(k, wmap[(k[1], k[0])]) for k in wmap if (k[1], k[0]) in wmap]
+    assert recip, "expected some reciprocal edges"
+    for (h, t), w_rev in recip:
+        assert abs(wmap[(h, t)] - w_rev) < 1e-6
