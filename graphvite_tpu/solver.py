@@ -448,16 +448,17 @@ class GraphSolver(SolverBase):
                     float(negative_weight), float(negative_sample_exponent),
                     log_frequency)
                 return
+            eff_batch = self._effective_batch()
             if augmentation_step == 1:
                 sampler = self._get_sampler(
                     ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
             else:
                 sampler = self._get_sampler(
                     ("walk", augmentation_step, random_walk_length,
-                     model == "node2vec", p, q, self.batch_size),
+                     model == "node2vec", p, q, eff_batch),
                     lambda: DeviceWalkSampler.build(
                         self.graph, augmentation_step, random_walk_length,
-                        self.batch_size, biased=(model == "node2vec"),
+                        eff_batch, biased=(model == "node2vec"),
                         p=p, q=q))
             cache_key = ("graph", model, self.optimizer, self.num_negative,
                          float(negative_weight), int(augmentation_step),
