@@ -218,17 +218,25 @@ class SolverBase:
         }
 
     def _effective_batch(self):
-        """Cap the batch so the step's [B, K+1, D] intermediates fit HBM.
+        """Cap the batch by memory AND update staleness.
 
-        The reference streams subsamples warp-by-warp and supports
-        batch_size=100000 at dim 2048 x 64 negatives; a batched XLA step
-        materializes ~8 such tensors, so large (K, dim) need micro-batches
-        (same total math, finer-grained updates)."""
+        Memory: the step materializes ~8 tensors of [B, K+1, D] f32 (the
+        reference streams subsamples warp-by-warp instead).
+
+        Staleness: a batch accumulates all its row updates at one stale
+        parameter point, while the reference's hogwild applies them
+        sequentially. When B * (K + 2) / num_rows touches per row per batch
+        grows large, quality collapses (math fixture, RotatE dim 128:
+        MRR 0.67 at ~20 touches/row vs 0.13 at ~490). Bound it at
+        GRAPHVITE_MAX_TOUCH (default 64) touches per row."""
         import os as _os
         live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
         budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 8e9))
-        cap = max(int(budget / max(live_bytes, 1)), 512)
-        return min(self.batch_size, cap)
+        mem_cap = max(int(budget / max(live_bytes, 1)), 512)
+        tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
+        touch_cap = max(int(tau * self.graph.num_vertex
+                            / (self.num_negative + 2)), 512)
+        return min(self.batch_size, mem_cap, touch_cap)
 
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
