@@ -152,3 +152,32 @@ def test_word_graph_application(tmp_path):
               log_frequency=10**9)
     v = app.solver.vertex_embeddings
     assert np.isfinite(v).all()
+
+
+def test_math_fixture_quality():
+    """Reduced math-demo quality gate (the reference's demo fixture,
+    dataset.py:562): RotatE must rank the true tail near the top."""
+    from collections import defaultdict
+    from graphvite_tpu import dataset as ds
+    from graphvite_tpu.graph import KnowledgeGraph
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+    from graphvite_tpu.application import evaluate as ev
+
+    kg = KnowledgeGraph().load_file(ds.math.train)
+    s = KnowledgeGraphSolver(dim=64, seed=0)
+    s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+            batch_size=2000, episode_size=100)
+    s.train(model="RotatE", num_epoch=250, margin=9.0, log_frequency=10**9)
+    test = [l.split("\t")
+            for l in open(ds.math.test).read().splitlines()[:400]]
+    e2i, r2i = kg.entity2id, kg.relation2id
+    rows = [(e2i[h], r2i[r], e2i[t]) for h, r, t in test
+            if h in e2i and r in r2i and t in e2i]
+    H, R, T = (np.asarray(x) for x in zip(*rows))
+    rk = ev.filtered_rankings("RotatE", s.entity_embeddings,
+                              s.relation_embeddings, H, R, T,
+                              defaultdict(set), defaultdict(set), 9.0,
+                              "tail")
+    m = ev.ranking_metrics(rk)
+    assert m["MRR"] > 0.35, m
+    assert m["HITS@10"] > 0.55, m
