@@ -196,7 +196,6 @@ class DeviceWalkSampler:
         uniform = self.uniform
         biased = self.biased
         p, q = self.p, self.q
-        num_vertex_hint = None  # bound via indptr length inside
 
         def step_neighbor(indptr, indices, nbr_prob, nbr_alias, v, u1, u2):
             """First-order alias step from vertices v; returns (next, alive)."""

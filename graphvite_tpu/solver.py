@@ -12,7 +12,6 @@ the next pool on a background thread.
 from __future__ import annotations
 
 import math
-import threading
 
 import numpy as np
 import jax
