@@ -463,11 +463,17 @@ class VisualizationApplication(ApplicationMixin):
         logger.info("saved visualization to %s", save_file)
         return clipped
 
-    def hierarchy(self, HY=None, target=None, save_file=None, figure_size=10,
-                  scale=2, duration=3):
+    def hierarchy(self, HY=None, file_name=None, target=None, save_file=None,
+                  figure_size=10, scale=2, duration=3):
         """Animated zoom over a label hierarchy (ref application.py:1189-1255):
         one frame per hierarchy level, nodes colored by their label at that
-        level, non-descendants of `target` grayed out."""
+        level, non-descendants of `target` grayed out. `file_name`: text file
+        with one whitespace-separated label path per vertex."""
+        if file_name is not None and HY is None:
+            with open(file_name) as f:
+                HY = [line.split() for line in f if line.split()]
+            width = max(len(r) for r in HY)
+            HY = [r + [r[-1]] * (width - len(r)) for r in HY]
         HY = np.asarray(HY)
         coords = self.solver.coordinates
         frames = []
