@@ -547,7 +547,13 @@ class VisualizationApplication(ApplicationMixin):
         import jax.numpy as jnp
         if self.solver.state is None:
             self.solver._allocate()
-        self.solver.state = {"tables": (jnp.asarray(state["coordinates"]),),
+        coords = np.asarray(state["coordinates"])
+        pad = self.solver._pad_dim - coords.shape[1]
+        if pad > 0:
+            coords = np.concatenate(
+                [coords, np.zeros((coords.shape[0], pad), coords.dtype)],
+                axis=1)
+        self.solver.state = {"tables": (jnp.asarray(coords),),
                              "moments": self.solver.state["moments"]}
 
 

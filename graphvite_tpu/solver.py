@@ -632,7 +632,15 @@ class KnowledgeGraphSolver(SolverBase):
 
 class VisualizationSolver(SolverBase):
     """LargeVis solver (ref visualization.cuh:417-596): a single coordinate
-    table serves both head and tail roles."""
+    table serves both head and tail roles.
+
+    Tables are padded to >= 8 columns internally: 2-wide rows trigger a
+    pathological XLA layout on TPU (T(2,128), segment-sums at <1 GB/s).
+    The squared-distance math keeps zero-initialized padding at exactly
+    zero, so the padded dims are inert; `coordinates` strips them.
+    """
+
+    MIN_COLS = 8
 
     def get_default_optimizer(self):
         # ref visualization.cuh:554-556
@@ -641,8 +649,12 @@ class VisualizationSolver(SolverBase):
     def get_available_models(self):
         return {"LargeVis"}
 
+    @property
+    def _pad_dim(self):
+        return max(self.dim, self.MIN_COLS)
+
     def _table_shapes(self):
-        return ((self.graph.num_vertex, self.dim),)
+        return ((self.graph.num_vertex, self._pad_dim),)
 
     def init_embeddings(self):
         """coord ~ U(-5e-5/dim, 5e-5/dim) (visualization.cuh:563-569)."""
@@ -650,15 +662,19 @@ class VisualizationSolver(SolverBase):
         key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
         coord = jax.random.uniform(
             key, (v, self.dim), minval=-5e-5 / self.dim,
-            maxval=5e-5 / self.dim,
-            dtype=jnp.float32).astype(self.float_type.name)
+            maxval=5e-5 / self.dim, dtype=jnp.float32)
+        if self._pad_dim > self.dim:
+            coord = jnp.concatenate(
+                [coord, jnp.zeros((v, self._pad_dim - self.dim),
+                                  jnp.float32)], axis=1)
+        coord = coord.astype(self.float_type.name)
         self.state = {"tables": (coord,),
                       "moments": (self.optimizer.init_moments(
-                          (v, self.dim), self.float_type.name),)}
+                          (v, self._pad_dim), self.float_type.name),)}
 
     @property
     def coordinates(self):
-        return self.table(0)
+        return self.table(0)[:, : self.dim]
 
     def train(self, model="LargeVis", num_epoch=50, resume=False,
               sample_batch_size=2000, positive_reuse=5,
