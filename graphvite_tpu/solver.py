@@ -634,10 +634,11 @@ class VisualizationSolver(SolverBase):
     """LargeVis solver (ref visualization.cuh:417-596): a single coordinate
     table serves both head and tail roles.
 
-    Tables are padded to >= 8 columns internally: 2-wide rows trigger a
-    pathological XLA layout on TPU (T(2,128), segment-sums at <1 GB/s).
-    The squared-distance math keeps zero-initialized padding at exactly
-    zero, so the padded dims are inert; `coordinates` strips them.
+    Tables are padded to >= 8 columns internally so row layouts match the
+    other solvers (the squared-distance math keeps zero-initialized padding
+    at exactly zero, so the padded dims are inert; `coordinates` strips
+    them). Note: the optimizer dedup chain still runs ~30 ms/batch on these
+    narrow shapes — per-touch segment-sums are the round-2 target here.
     """
 
     MIN_COLS = 8
