@@ -137,3 +137,28 @@ def test_node2vec_large_q_stays_local():
     cross = sum(1 for a, b in zip(h, t)
                 if (a in left) != (b in left))
     assert cross / len(h) < 0.25
+
+
+def test_device_walk_weighted_neighbor_choice():
+    """Weighted CSR neighbor alias on device: transition frequencies from a
+    hub must follow edge weights (graph.cuh:376-450 semantics)."""
+    # star: 0 -> {1 (w=1), 2 (w=3), 3 (w=6)}; returns close the walk
+    edges = [("0", "1", 1.0), ("0", "2", 3.0), ("0", "3", 6.0),
+             ("1", "0", 1.0), ("2", "0", 1.0), ("3", "0", 1.0)]
+    g = Graph().load_edge_list(edges, as_undirected=False)
+    samp = DeviceWalkSampler.build(g, augmentation_step=1, walk_length=4,
+                                   batch_size=2048)
+    assert not samp.uniform
+    fn = samp.make_sample_fn(2048)
+    arrays = samp.arrays()
+    zero = g.name2id["0"]
+    counts = np.zeros(4)
+    for i in range(8):
+        out = fn(jax.random.PRNGKey(i), *arrays)
+        h, t, m = (np.asarray(x) for x in out)
+        keep = (m > 0) & (h == zero)
+        for name, nid in g.name2id.items():
+            if name != "0":
+                counts[int(name)] += np.sum(t[keep] == nid)
+    frac = counts[1:] / counts[1:].sum()
+    np.testing.assert_allclose(frac, [0.1, 0.3, 0.6], atol=0.03)
