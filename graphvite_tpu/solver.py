@@ -227,10 +227,14 @@ class SolverBase:
         sequentially. When B * (K + 2) / num_rows touches per row per batch
         grows large, quality collapses (math fixture, RotatE dim 128:
         MRR 0.67 at ~20 touches/row vs 0.13 at ~490). Bound it at
-        GRAPHVITE_MAX_TOUCH (default 64) touches per row."""
+        GRAPHVITE_MAX_TOUCH (default 64) touches per row.
+
+        The 2 GB default is also the measured throughput optimum on v5e:
+        at 8 GB of live intermediates XLA starts inserting remat/compress
+        copies and KG steps run ~4x slower per sample."""
         import os as _os
         live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
-        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 8e9))
+        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
         mem_cap = max(int(budget / max(live_bytes, 1)), 512)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
