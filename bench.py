@@ -67,7 +67,9 @@ def main():
     solver.train(model="LINE", num_epoch=num_epoch, augmentation_step=1,
                  log_frequency=10**9)
     elapsed = time.time() - start
-    samples = solver.num_batch * batch_size
+    # count the batch size the solver ACTUALLY ran (it may shrink the
+    # requested batch to fit step intermediates / the staleness cap)
+    samples = solver.num_batch * solver.effective_batch
     rate = samples / elapsed
 
     print(json.dumps({

@@ -48,15 +48,17 @@ def top_k_label(label_file, save_file, k, format="node-label"):
     """Keep only the k most frequent labels (ref dataset.py:238-270)."""
     label2nodes = defaultdict(list)
     with open(label_file) as f:
-        for line in f:
+        for line_id, line in enumerate(f):
             tokens = line.split()
             if not tokens:
                 continue
             if format == "node-label":
                 node, label = tokens
-            else:  # "(label)-nodes"
-                label, node = tokens[0], tokens[1]
-            label2nodes[label].append(node)
+                label2nodes[label].append(node)
+            else:
+                # "(label)-nodes": each line is the full node list of one
+                # community; the label is the line index (ref dataset.py:258-262)
+                label2nodes[str(line_id)].extend(tokens)
     top = sorted(label2nodes, key=lambda l: len(label2nodes[l]),
                  reverse=True)[:k]
     with open(save_file, "w") as f:

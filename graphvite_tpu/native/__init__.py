@@ -17,8 +17,22 @@ _SRC = os.path.join(_HERE, "sampler.cpp")
 
 
 def _build() -> str:
+    import platform
+
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        src_digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    # -march=native output is host-CPU specific; a cache dir shared across
+    # heterogeneous machines (NFS home, container images) must not serve a
+    # .so built for another CPU (SIGILL). Key the artifact by the host's
+    # CPU flags as well as the source.
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu_flags = "".join(l for l in f if l.startswith("flags"))[:4096]
+    except OSError:
+        cpu_flags = ""
+    host = "%s-%s" % (platform.machine(),
+                      hashlib.sha256(cpu_flags.encode()).hexdigest()[:8])
+    digest = "%s-%s" % (src_digest, host)
     cache_dir = os.environ.get(
         "GRAPHVITE_TPU_CACHE_DIR",
         os.path.expanduser("~/.cache/graphvite_tpu"))

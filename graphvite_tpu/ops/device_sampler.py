@@ -314,14 +314,18 @@ class DeviceWalkSampler:
             # cumulative validity: position j valid iff all steps up to j alive
             valid = jnp.cumprod(alive.astype(jnp.int32), axis=0) > 0
 
+            # interleave slots walk-major ([W, pairs_per_walk] flattened) so
+            # the truncation overshoot drops whole trailing walks instead of
+            # deterministically undersampling the largest-hop class
             hs, ts, ms = [], [], []
             for k in range(1, aug + 1):
-                hs.append(chain[: L + 1 - k].reshape(-1))
-                ts.append(chain[k:].reshape(-1))
-                ms.append((valid[: L + 1 - k] & valid[k:]).reshape(-1))
-            h = jnp.concatenate(hs)[:batch_size]
-            t = jnp.concatenate(ts)[:batch_size]
-            m = jnp.concatenate(ms)[:batch_size].astype(jnp.float32)
+                hs.append(chain[: L + 1 - k].T)          # [W, L+1-k]
+                ts.append(chain[k:].T)
+                ms.append((valid[: L + 1 - k] & valid[k:]).T)
+            h = jnp.concatenate(hs, axis=1).reshape(-1)[:batch_size]
+            t = jnp.concatenate(ts, axis=1).reshape(-1)[:batch_size]
+            m = (jnp.concatenate(ms, axis=1).reshape(-1)[:batch_size]
+                 .astype(jnp.float32))
             return h, t, m
 
         return sample

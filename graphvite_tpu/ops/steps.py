@@ -53,6 +53,18 @@ def _logistic_terms(logits, num_negative, negative_weight, mask=None):
     return gradient, weight, sample_loss
 
 
+def _mask_ids(ids, mask, sentinel):
+    """Route masked slots' scatter ids out of range so apply_row_updates
+    drops them entirely — a zero-gradient touch would still inflate dedup
+    touch counts and decay EMA moments for the padded slot's rows."""
+    if mask is None:
+        return ids
+    dead = mask <= 0
+    while dead.ndim < ids.ndim:
+        dead = dead[..., None]
+    return jnp.where(dead, jnp.asarray(sentinel, ids.dtype), ids)
+
+
 # ---------------------------------------------------------------------------
 # node embedding (vertex/context tables; ref gpu/graph.cuh)
 # ---------------------------------------------------------------------------
@@ -84,13 +96,22 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
         wd = opt.weight_decay
         # vertex row: touched K+1 times per sample; accumulate before scatter
         # (the reference keeps the vertex row in a local warp buffer across
-        # subsamples, gpu/graph.cuh:59-93)
-        reg_v = jnp.sum(w * gv, axis=1) + (jnp.sum(weight, axis=-1)[:, None] * wd) * v
+        # subsamples, gpu/graph.cuh:59-93). With moment optimizers, pass the
+        # touch count and per-touch squared gradients so the collapsed entry
+        # preserves per-touch moment dynamics.
+        per_touch_v = w * (gv + wd * v[:, None, :])          # [B, K+1, D]
+        reg_v = jnp.sum(per_touch_v, axis=1)
         reg_c = w * gc + wd * w * c
+        v_counts = v_sqs = None
+        if opt.num_moment > 0:
+            v_counts = jnp.full((b,), k + 1, jnp.float32)
+            v_sqs = jnp.sum(per_touch_v * per_touch_v, axis=1)
         new_vertex, new_v_moms = apply_row_updates(
-            vertex, v_moms, heads, reg_v, opt, lr)
+            vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
+            reg_v, opt, lr, entry_counts=v_counts, entry_sqs=v_sqs)
         new_context, new_c_moms = apply_row_updates(
-            context, c_moms, ctx_ids.reshape(-1),
+            context, c_moms,
+            _mask_ids(ctx_ids, mask, context.shape[0]).reshape(-1),
             reg_c.reshape(b * (k + 1), -1), opt, lr)
         new_state = {"tables": (new_vertex, new_context),
                      "moments": (new_v_moms, new_c_moms)}
@@ -172,26 +193,49 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         wd = opt.weight_decay
         reg_h = w * (gh + wd * h)                            # [B, K+1, D]
         reg_t = w * (gt + wd * t)
-        # relation row: one touch per subsample (gr broadcast over K+1)
-        reg_r = jnp.sum(w * (gr + wd * r), axis=1)           # [B, D]
+        # relation row: one touch per subsample (the reference's backward
+        # updates the relation row on every s = 0..K, gpu/knowledge_graph.cuh
+        # train_1_moment loop)
+        per_touch_r = w * (gr + wd * r)                      # [B, K+1, D]
+        reg_r = jnp.sum(per_touch_r, axis=1)                 # [B, D]
 
         # scatter K+2 rows per sample: candidate rows get the corrupted
         # side's gradient; the positive head/tail rows accumulate their
         # positive-pair gradient plus every negative subsample where they
-        # stayed in place
+        # stayed in place. Collapsed entries carry their true touch count and
+        # per-touch squared gradients so moment updates match the reference's
+        # per-subsample dynamics.
         cand_grad = jnp.where(ch, reg_h[:, :k], reg_t[:, :k])  # [B, K, D]
         chf = corrupt_head[..., None].astype(reg_h.dtype)
-        head_grad = reg_h[:, k] + jnp.sum(reg_h[:, :k] * (1 - chf), axis=1)
-        tail_grad = reg_t[:, k] + jnp.sum(reg_t[:, :k] * chf, axis=1)
+        head_touch = reg_h[:, :k] * (1 - chf)                # [B, K, D]
+        tail_touch = reg_t[:, :k] * chf
+        head_grad = reg_h[:, k] + jnp.sum(head_touch, axis=1)
+        tail_grad = reg_t[:, k] + jnp.sum(tail_touch, axis=1)
         ent_ids = jnp.concatenate(
-            [heads, tails, cand_ids.reshape(-1)])
+            [_mask_ids(heads, mask, num_entity),
+             _mask_ids(tails, mask, num_entity),
+             _mask_ids(cand_ids, mask, num_entity).reshape(-1)])
         ent_grads = jnp.concatenate(
             [head_grad, tail_grad, cand_grad.reshape(b * k, -1)])
+        ent_counts = ent_sqs = r_counts = r_sqs = None
+        if opt.num_moment > 0:
+            chn = corrupt_head.astype(jnp.float32)           # [B, K]
+            ent_counts = jnp.concatenate(
+                [1 + jnp.sum(1 - chn, axis=1), 1 + jnp.sum(chn, axis=1),
+                 jnp.ones((b * k,), jnp.float32)])
+            ent_sqs = jnp.concatenate(
+                [reg_h[:, k] ** 2 + jnp.sum(head_touch * head_touch, axis=1),
+                 reg_t[:, k] ** 2 + jnp.sum(tail_touch * tail_touch, axis=1),
+                 (cand_grad * cand_grad).reshape(b * k, -1)])
+            r_counts = jnp.full((b,), k + 1, jnp.float32)
+            r_sqs = jnp.sum(per_touch_r * per_touch_r, axis=1)
         new_entity, new_e_moms = apply_row_updates(
-            entity, e_moms, ent_ids, ent_grads, opt, lr)
+            entity, e_moms, ent_ids, ent_grads, opt, lr,
+            entry_counts=ent_counts, entry_sqs=ent_sqs)
         new_relation, new_r_moms = apply_row_updates(
-            relation, r_moms, rels, reg_r, opt, lr,
-            lr_scale=relation_lr_multiplier)
+            relation, r_moms, _mask_ids(rels, mask, relation.shape[0]),
+            reg_r, opt, lr, lr_scale=relation_lr_multiplier,
+            entry_counts=r_counts, entry_sqs=r_sqs)
         new_state = {"tables": (new_entity, new_relation),
                      "moments": (new_e_moms, new_r_moms)}
         if mask is None:
@@ -251,12 +295,24 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
         gh, gt = model.backward(h, t, gradient)
         w = weight[..., None]
         wd = opt.weight_decay
-        reg_h = jnp.sum(w * gh, axis=1) + \
-            (jnp.sum(weight, axis=-1)[:, None] * wd) * h[:, 0, :]
+        per_touch_h = w * (gh + wd * h)                      # [B, K+1, D]
+        reg_h = jnp.sum(per_touch_h, axis=1)
         reg_t = w * (gt + wd * t)
-        ids = jnp.concatenate([heads, t_ids.reshape(-1)])
+        ids = jnp.concatenate([_mask_ids(heads, mask, coord.shape[0]),
+                               _mask_ids(t_ids, mask,
+                                         coord.shape[0]).reshape(-1)])
         grads = jnp.concatenate([reg_h, reg_t.reshape(b * (k + 1), -1)])
-        new_coord, new_moms = apply_row_updates(coord, moms, ids, grads, opt, lr)
+        counts = sqs = None
+        if opt.num_moment > 0:
+            counts = jnp.concatenate(
+                [jnp.full((b,), k + 1, jnp.float32),
+                 jnp.ones((b * (k + 1),), jnp.float32)])
+            sqs = jnp.concatenate(
+                [jnp.sum(per_touch_h * per_touch_h, axis=1),
+                 (reg_t * reg_t).reshape(b * (k + 1), -1)])
+        new_coord, new_moms = apply_row_updates(coord, moms, ids, grads, opt,
+                                                lr, entry_counts=counts,
+                                                entry_sqs=sqs)
         if mask is None:
             mean_loss = jnp.mean(sample_loss)
         else:

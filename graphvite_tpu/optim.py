@@ -205,12 +205,19 @@ def moment_delta(opt: Optimizer, lr, g, moments, c=1.0, gsq=None):
 # row-sparse application with duplicate accumulation
 # ---------------------------------------------------------------------------
 
-def dedup_rows(ids, grads):
+def dedup_rows(ids, grads, entry_counts=None, entry_sqs=None):
     """Sum `grads` over duplicate `ids` with static shapes.
 
-    Returns (uids, gsum, counts) each of length len(ids); slots beyond the
-    number of unique ids carry a huge sentinel uid, zero grads and count 1,
-    and are dropped by scatter mode='drop'.
+    An entry may itself stand for several sequential reference touches (a
+    step that pre-accumulates a row's subsample gradients before the
+    scatter): `entry_counts` [N] gives each entry's touch count and
+    `entry_sqs` [N, D] the sum of its per-touch SQUARED gradients, so the
+    collapsed entry preserves the per-touch moment semantics. Defaults:
+    count 1, sq = grad**2.
+
+    Returns (uids, gsum, counts, gsq) each of length len(ids); slots beyond
+    the number of unique ids carry a huge sentinel uid, zero grads and count
+    1, and are dropped by scatter mode='drop'.
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -219,9 +226,11 @@ def dedup_rows(ids, grads):
     head = jnp.concatenate([jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]])
     seg = jnp.cumsum(head) - 1  # segment index of each touch
     gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
-    gsq = jax.ops.segment_sum(sg * sg, seg, num_segments=n)
-    counts = jax.ops.segment_sum(jnp.ones((n,), grads.dtype), seg,
-                                 num_segments=n)
+    sq = sg * sg if entry_sqs is None else entry_sqs[order]
+    gsq = jax.ops.segment_sum(sq, seg, num_segments=n)
+    cnt = (jnp.ones((n,), grads.dtype) if entry_counts is None
+           else entry_counts[order].astype(grads.dtype))
+    counts = jax.ops.segment_sum(cnt, seg, num_segments=n)
     counts = jnp.maximum(counts, 1.0)
     sentinel = jnp.iinfo(jnp.int32).max
     uids = jnp.full((n,), sentinel, dtype=sid.dtype).at[seg].set(sid)
@@ -229,24 +238,30 @@ def dedup_rows(ids, grads):
 
 
 def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
-                      lr_scale=1.0):
+                      lr_scale=1.0, entry_counts=None, entry_sqs=None):
     """Apply optimizer updates for per-touch regularized gradients.
 
     table:      [V, D] parameter table
     moments:    tuple of [V, D] moment tables (len == opt.num_moment)
-    ids:        [N] int32 row ids (duplicates allowed)
+    ids:        [N] int32 row ids (duplicates allowed; out-of-range ids are
+                dropped — steps route masked/padded slots to a sentinel so
+                they register no touch)
     reg_grads:  [N, D] per-touch regularized gradients (weight already applied)
     lr:         scheduled learning rate (traced scalar)
     lr_scale:   extra multiplier on the applied delta only (relation_lr_multiplier;
                 moments integrate the unscaled gradient, matching the reference
                 `relation -= relation_lr_multiplier * update(...)`).
+    entry_counts / entry_sqs: see dedup_rows — per-entry touch counts and
+                summed squared per-touch gradients for pre-accumulated entries.
     """
     if opt.num_moment == 0:
-        # pure scatter-add; duplicates accumulate natively
+        # pure scatter-add; duplicates accumulate natively, out-of-range drops
         delta = (lr * lr_scale) * reg_grads
-        return table.at[ids].add(-delta.astype(table.dtype)), moments
+        return (table.at[ids].add(-delta.astype(table.dtype), mode="drop"),
+                moments)
 
-    uids, gsum, counts, gsq = dedup_rows(ids, reg_grads)
+    uids, gsum, counts, gsq = dedup_rows(ids, reg_grads, entry_counts,
+                                         entry_sqs)
     cuids = jnp.minimum(uids, table.shape[0] - 1)  # safe gather; scatter drops
     mrows = tuple(m[cuids] for m in moments)
     delta, new_mrows = moment_delta(opt, lr, gsum, mrows, counts[:, None],

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphvite_tpu.optim import Optimizer, apply_row_updates
 from graphvite_tpu.ops.alias import AliasTable
+from graphvite_tpu.ops.steps import _logistic_terms
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "p") -> Mesh:
@@ -190,23 +191,17 @@ def make_sharded_graph_step(model, opt: Optimizer, num_negative: int,
         ctx_ids = jnp.concatenate([negs, tails[:, None]], axis=1)
         c = context[ctx_ids]
         logits = model.score(v[:, None, :], c)
-        prob = jax.nn.sigmoid(logits)
-        label = jnp.concatenate(
-            [jnp.zeros((b, k), logits.dtype), jnp.ones((b, 1), logits.dtype)],
-            axis=1)
-        gradient = (prob - label) * wmask[:, None]
-        weight = jnp.where(label > 0, 1.0, negative_weight).astype(logits.dtype)
-        loss = jnp.where(label > 0, -jnp.log(prob + 1e-15),
-                         -jnp.log(1.0 - prob + 1e-15))
-        sample_loss = (jnp.sum(weight * loss, axis=-1)
-                       / (1.0 + k * negative_weight)) * wmask
+        # shared stable softplus loss/gradient forms (ops/steps.py; the naive
+        # -log(1 - sigmoid + eps) form goes inf under XLA simplification)
+        gradient, weight, sample_loss = _logistic_terms(
+            logits, k, negative_weight, wmask)
 
         gv, gc = model.backward(v[:, None, :], c, gradient)
         w = weight[..., None]
         wd = opt.weight_decay
         reg_v = jnp.sum(w * gv, axis=1) + \
-            (jnp.sum(weight * wmask[:, None], axis=-1)[:, None] * wd) * v
-        reg_c = w * gc + (wd * w * wmask[:, None, None]) * c
+            (jnp.sum(weight, axis=-1)[:, None] * wd) * v
+        reg_c = w * gc + wd * w * c
         new_vertex, new_v_moms = apply_row_updates(
             vertex, v_moms, heads, reg_v, opt, lr)
         new_context, new_c_moms = apply_row_updates(

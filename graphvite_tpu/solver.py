@@ -58,6 +58,7 @@ class SolverBase:
         self.episode_size = auto
         self.batch_id = 0
         self.num_batch = 0
+        self.effective_batch = self.batch_size
         self._rng = np.random.default_rng(seed)
 
     # -- per-application hooks ---------------------------------------------
@@ -141,6 +142,7 @@ class SolverBase:
 
         num_edge = self.graph.num_edge
         self.num_batch = max(int(num_epoch * num_edge // self.batch_size), 1)
+        self.effective_batch = self.batch_size
         ep_batches = max(min(self._episode_batches(), self.num_batch), 1)
 
         prep_key = (id(self.graph), "blocked", num_partition,
@@ -247,6 +249,7 @@ class SolverBase:
         """Fully-fused loop: positives sampled on device inside the scan."""
         num_edge = self.graph.num_edge
         batch_size = self._effective_batch()
+        self.effective_batch = batch_size  # what bench/sample accounting must use
         if batch_size < self.batch_size:
             logger.info("batch_size %d -> %d to fit step intermediates",
                         self.batch_size, batch_size)
@@ -293,6 +296,7 @@ class SolverBase:
         self.num_batch = int(num_epoch * num_edge // self.batch_size)
         if self.num_batch == 0:
             self.num_batch = 1
+        self.effective_batch = self.batch_size
         ep_batches = self._episode_batches()
         pool_positives = ep_batches * self.batch_size
         runner = _steps.make_pool_runner(step_fn, self.num_batch,

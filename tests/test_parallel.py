@@ -29,6 +29,35 @@ def two_blocks(n=60, seed=0):
     return Graph().load_edge_list(edges)
 
 
+def test_sharded_step_loss_stable_at_saturation():
+    """The episode loss must use the stable softplus forms: for a confident
+    wrong negative (logit z >> 0) the loss term is softplus(z) ~= z, not the
+    -log(1 - sigmoid(z) + eps) form that XLA simplifies into log(0)."""
+    from graphvite_tpu.parallel.mesh import make_sharded_graph_step
+
+    dim = 8
+    opt = Optimizer(type="SGD", lr=0.0, weight_decay=0.0)
+    step = jax.jit(make_sharded_graph_step(GRAPH_MODELS["LINE"], opt,
+                                           num_negative=1,
+                                           negative_weight=1.0))
+    # one vertex, two contexts, all rows = 10 => every logit = 10*10*8 = 800
+    z = 800.0
+    vertex = jnp.full((2, dim), 10.0)
+    context = jnp.full((2, dim), 10.0)
+    state = {"tables": (vertex, context), "moments": ((), ())}
+    heads = jnp.zeros((4,), jnp.int32)
+    tails = jnp.ones((4,), jnp.int32)
+    mask = jnp.ones((4,), jnp.float32)
+    neg_prob = jnp.ones((2,), jnp.float32)
+    neg_alias = jnp.zeros((2,), jnp.int32)
+    _, loss = step(state, (heads, tails, mask), jax.random.PRNGKey(0),
+                   jnp.float32(0.0), neg_prob, neg_alias, jnp.int32(2))
+    # positive: softplus(-z) ~ 0; negative: softplus(z) ~ z; /(1 + k*w) = /2
+    expected = z / 2.0
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - expected) / expected < 1e-3
+
+
 def test_vertex_partition_roundtrip():
     rng = np.random.default_rng(0)
     deg = rng.integers(1, 100, 37)
@@ -80,7 +109,10 @@ def _train_sharded(g, num_epoch=800, dim=16, P=4, batch=256, seed=0):
         state, neg_state, losses = trainer.run_episode(
             state, blocks, neg_state, batch_id, num_batch, seed=batch_id)
         l = np.asarray(losses)
-        l = l[np.isfinite(l) & (l > 0)]
+        # stable softplus loss must never go inf/NaN (regression for the
+        # naive -log(1-sigmoid+eps) form XLA simplifies into log(0))
+        assert np.isfinite(l).all()
+        l = l[l > 0]  # zero-loss episodes come only from empty blocks
         if l.size:
             if first_loss is None:
                 first_loss = float(l.mean())
