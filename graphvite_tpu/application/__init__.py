@@ -144,7 +144,9 @@ class GraphApplication(ApplicationMixin):
         return graph_mod.Graph()
 
     def get_solver(self, **kwargs):
-        return solver_mod.GraphSolver(self.dim, self.float_type, self.index_type)
+        return solver_mod.GraphSolver(self.dim, self.float_type,
+                                      self.index_type,
+                                      num_worker=max(len(self.gpus), 1))
 
     def _load_dispatch(self, edge_list=None, **kwargs):
         if edge_list is not None:

@@ -65,8 +65,9 @@ def run_config(cfg, do_eval=True, num_epoch=None):
     from graphvite_tpu.application import Application
 
     resource = dict(cfg.get("resource", {}))
-    resource.pop("gpus", None)
     resource.pop("cpu_per_gpu", None)
+    # `gpus: [0, 1, ...]` (reference resource key) selects that many mesh
+    # devices; empty list / absent = single chip
     app = Application(cfg["application"], **resource)
     load_kwargs = dict(cfg.get("graph", {}))
     if "file_name" in load_kwargs:

@@ -110,6 +110,154 @@ class DeviceEdgeSampler:
         return sample
 
 
+def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
+                       p=1.0, q=1.0):
+    """Build the on-device walk generator shared by the single-chip
+    DeviceWalkSampler and the multichip walk-pool path (parallel/mesh.py).
+
+    Returned fn(key, edge_prob, edge_alias, heads, tails, indptr, indices,
+    nbr_prob, nbr_alias, [sorted_indices]) -> (chain [L+1, W], valid [L+1, W])
+    where `valid[j]` means all steps up to position j were alive
+    (graph.cuh:399-449 semantics: walks truncate at dead ends).
+    """
+    L, W = int(walk_length), int(num_walk)
+
+    def step_neighbor(indptr, indices, nbr_prob, nbr_alias, v, u1, u2):
+        """First-order alias step from vertices v; returns (next, alive)."""
+        start = indptr[v]
+        deg = indptr[v + 1] - start
+        alive = deg > 0
+        safe_deg = jnp.maximum(deg, 1)
+        idx = jnp.minimum((u1 * safe_deg).astype(jnp.int32), safe_deg - 1)
+        flat = start + idx
+        if not uniform:
+            local = jnp.where(u2 < nbr_prob[flat], idx, nbr_alias[flat])
+            flat = start + local
+        nxt = indices[flat]
+        return jnp.where(alive, nxt, v), alive
+
+    def chain_fn(key, edge_prob, edge_alias, heads, tails, indptr, indices,
+                 nbr_prob, nbr_alias, *rest):
+        kk = jax.random.split(key, 3)
+        u1 = jax.random.uniform(kk[0], (W,))
+        u2 = jax.random.uniform(kk[1], (W,))
+        eid = _alias_pick(edge_prob, edge_alias, u1, u2)
+        v0 = heads[eid]
+        v1 = tails[eid]
+
+        if not biased:
+            def walk_body(carry, xs):
+                v, alive = carry
+                w1, w2 = xs
+                nxt, step_alive = step_neighbor(
+                    indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
+                alive = alive & step_alive
+                nxt = jnp.where(alive, nxt, v)
+                return (nxt, alive), (nxt, alive)
+
+            ks = jax.random.split(kk[2], 2)
+            w1s = jax.random.uniform(ks[0], (L - 1, W))
+            w2s = jax.random.uniform(ks[1], (L - 1, W))
+            (_, _), (chain_rest, alive_rest) = jax.lax.scan(
+                walk_body, (v1, jnp.ones_like(v1, jnp.bool_)),
+                (w1s, w2s))
+        else:
+            (sorted_idx,) = rest
+            max_bias = max(1.0, 1.0 / p, 1.0 / q)
+
+            def in_neighbors(x, u):
+                """u in N(x) via binary search on the row-sorted CSR
+                (int32-safe; the u*V+t key trick overflows int32)."""
+                lo = indptr[x]
+                hi = indptr[x + 1]
+                n_edge = sorted_idx.shape[0]
+
+                def bs_body(_, state):
+                    lo, hi = state
+                    mid = (lo + hi) // 2
+                    v = sorted_idx[jnp.minimum(mid, n_edge - 1)]
+                    go_right = (v < u) & (lo < hi)
+                    new_lo = jnp.where(go_right, mid + 1, lo)
+                    new_hi = jnp.where((~go_right) & (lo < hi), mid, hi)
+                    return new_lo, new_hi
+
+                lo, hi = jax.lax.fori_loop(0, 32, bs_body, (lo, hi))
+                found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
+                return found & (lo < indptr[x + 1])
+
+            def walk_body(carry, step_key):
+                v, prev, alive = carry
+
+                # exact node2vec transition by rejection sampling:
+                # propose a first-order alias step, accept with
+                # bias(prev, x) / max_bias where bias is 1/p for the
+                # return step, 1 for common neighbors, 1/q otherwise
+                # (the reweighting of graph.cuh:663-672) — statistically
+                # identical to the per-edge second-order alias tables
+                # without their O(E * avg_degree) memory.
+                def propose(state):
+                    nxt, accepted, k = state
+                    pk = jax.random.fold_in(step_key, k)
+                    w1, w2, racc = jax.random.uniform(pk, (3, W))
+                    cand, _ = step_neighbor(
+                        indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
+                    # reference tests neighbors[x].find(u), i.e. edge
+                    # x -> u with x = candidate, u = previous vertex
+                    # (graph.cuh:668)
+                    is_common = in_neighbors(cand, prev)
+                    is_return = cand == prev
+                    bias = jnp.where(is_return, 1.0 / p,
+                                     jnp.where(is_common, 1.0, 1.0 / q))
+                    ok = racc < bias / max_bias
+                    nxt = jnp.where(accepted, nxt, cand)
+                    accepted = accepted | ok
+                    return nxt, accepted, k + 1
+
+                def not_done(state):
+                    _, accepted, k = state
+                    return (~jnp.all(accepted)) & (k < 64)
+
+                deg = indptr[v + 1] - indptr[v]
+                step_alive = deg > 0
+                init = (v, ~step_alive, jnp.int32(0))  # dead lanes skip
+                nxt, _, _ = jax.lax.while_loop(not_done, propose, init)
+                alive = alive & step_alive
+                new_prev = jnp.where(alive, v, prev)
+                nxt = jnp.where(alive, nxt, v)
+                return (nxt, new_prev, alive), (nxt, alive)
+
+            step_keys = jax.random.split(kk[2], L - 1)
+            (_, _, _), (chain_rest, alive_rest) = jax.lax.scan(
+                walk_body, (v1, v0, jnp.ones_like(v1, jnp.bool_)),
+                step_keys)
+
+        chain = jnp.concatenate([v0[None], v1[None], chain_rest], axis=0)
+        alive = jnp.concatenate(
+            [jnp.ones((2, W), jnp.bool_), alive_rest], axis=0)
+        # cumulative validity: position j valid iff all steps up to j alive
+        valid = jnp.cumprod(alive.astype(jnp.int32), axis=0) > 0
+        return chain, valid
+
+    return chain_fn
+
+
+def emit_walk_pairs(chain, valid, aug):
+    """Emit all (v_j, v_{j+k}) pairs for k = 1..aug, interleaved walk-major
+    ([W, pairs_per_walk] flattened) so truncation drops whole trailing walks
+    instead of deterministically undersampling the largest-hop class.
+    Returns (heads, tails, mask) each [W * pairs_per_walk]."""
+    L = chain.shape[0] - 1
+    hs, ts, ms = [], [], []
+    for k in range(1, aug + 1):
+        hs.append(chain[: L + 1 - k].T)              # [W, L+1-k]
+        ts.append(chain[k:].T)
+        ms.append((valid[: L + 1 - k] & valid[k:]).T)
+    h = jnp.concatenate(hs, axis=1).reshape(-1)
+    t = jnp.concatenate(ts, axis=1).reshape(-1)
+    m = jnp.concatenate(ms, axis=1).reshape(-1)
+    return h, t, m
+
+
 @dataclasses.dataclass
 class DeviceWalkSampler:
     """Random-walk augmented pairs, generated on device.
@@ -190,142 +338,15 @@ class DeviceWalkSampler:
 
     def make_sample_fn(self, batch_size: int):
         assert batch_size == self.batch_size
-        L = self.walk_length
         aug = self.augmentation_step
-        W = self.num_walk
-        uniform = self.uniform
-        biased = self.biased
-        p, q = self.p, self.q
+        chain_fn = make_walk_chain_fn(self.uniform, self.walk_length,
+                                      self.num_walk, biased=self.biased,
+                                      p=self.p, q=self.q)
 
-        def step_neighbor(indptr, indices, nbr_prob, nbr_alias, v, u1, u2):
-            """First-order alias step from vertices v; returns (next, alive)."""
-            start = indptr[v]
-            deg = indptr[v + 1] - start
-            alive = deg > 0
-            safe_deg = jnp.maximum(deg, 1)
-            idx = jnp.minimum((u1 * safe_deg).astype(jnp.int32), safe_deg - 1)
-            flat = start + idx
-            if not uniform:
-                local = jnp.where(u2 < nbr_prob[flat], idx, nbr_alias[flat])
-                flat = start + local
-            nxt = indices[flat]
-            return jnp.where(alive, nxt, v), alive
-
-        def sample(key, edge_prob, edge_alias, heads, tails, indptr, indices,
-                   nbr_prob, nbr_alias, *rest):
-            kk = jax.random.split(key, 4)
-            u1 = jax.random.uniform(kk[0], (W,))
-            u2 = jax.random.uniform(kk[1], (W,))
-            eid = _alias_pick(edge_prob, edge_alias, u1, u2)
-            v0 = heads[eid]
-            v1 = tails[eid]
-
-            if not biased:
-                def walk_body(carry, xs):
-                    v, alive = carry
-                    w1, w2 = xs
-                    nxt, step_alive = step_neighbor(
-                        indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
-                    alive = alive & step_alive
-                    nxt = jnp.where(alive, nxt, v)
-                    return (nxt, alive), (nxt, alive)
-
-                ks = jax.random.split(kk[2], 2)
-                w1s = jax.random.uniform(ks[0], (L - 1, W))
-                w2s = jax.random.uniform(ks[1], (L - 1, W))
-                (_, _), (chain_rest, alive_rest) = jax.lax.scan(
-                    walk_body, (v1, jnp.ones_like(v1, jnp.bool_)),
-                    (w1s, w2s))
-            else:
-                (sorted_idx,) = rest
-                max_bias = max(1.0, 1.0 / p, 1.0 / q)
-
-                def in_neighbors(x, u):
-                    """u in N(x) via binary search on the row-sorted CSR
-                    (int32-safe; the u*V+t key trick overflows int32)."""
-                    lo = indptr[x]
-                    hi = indptr[x + 1]
-                    n_edge = sorted_idx.shape[0]
-
-                    def bs_body(_, state):
-                        lo, hi = state
-                        mid = (lo + hi) // 2
-                        v = sorted_idx[jnp.minimum(mid, n_edge - 1)]
-                        go_right = (v < u) & (lo < hi)
-                        new_lo = jnp.where(go_right, mid + 1, lo)
-                        new_hi = jnp.where((~go_right) & (lo < hi), mid, hi)
-                        return new_lo, new_hi
-
-                    lo, hi = jax.lax.fori_loop(0, 32, bs_body, (lo, hi))
-                    found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
-                    return found & (lo < indptr[x + 1])
-
-                def walk_body(carry, step_key):
-                    v, prev, alive = carry
-
-                    # exact node2vec transition by rejection sampling:
-                    # propose a first-order alias step, accept with
-                    # bias(prev, x) / max_bias where bias is 1/p for the
-                    # return step, 1 for common neighbors, 1/q otherwise
-                    # (the reweighting of graph.cuh:663-672) — statistically
-                    # identical to the per-edge second-order alias tables
-                    # without their O(E * avg_degree) memory.
-                    def propose(state):
-                        nxt, accepted, k = state
-                        pk = jax.random.fold_in(step_key, k)
-                        w1, w2, racc = jax.random.uniform(pk, (3, W))
-                        cand, _ = step_neighbor(
-                            indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
-                        # reference tests neighbors[x].find(u), i.e. edge
-                        # x -> u with x = candidate, u = previous vertex
-                        # (graph.cuh:668)
-                        is_common = in_neighbors(cand, prev)
-                        is_return = cand == prev
-                        bias = jnp.where(is_return, 1.0 / p,
-                                         jnp.where(is_common, 1.0, 1.0 / q))
-                        ok = racc < bias / max_bias
-                        nxt = jnp.where(accepted, nxt, cand)
-                        accepted = accepted | ok
-                        return nxt, accepted, k + 1
-
-                    def not_done(state):
-                        _, accepted, k = state
-                        return (~jnp.all(accepted)) & (k < 64)
-
-                    deg = indptr[v + 1] - indptr[v]
-                    step_alive = deg > 0
-                    init = (v, ~step_alive, jnp.int32(0))  # dead lanes skip
-                    nxt, _, _ = jax.lax.while_loop(not_done, propose, init)
-                    alive = alive & step_alive
-                    new_prev = jnp.where(alive, v, prev)
-                    nxt = jnp.where(alive, nxt, v)
-                    return (nxt, new_prev, alive), (nxt, alive)
-
-                step_keys = jax.random.split(kk[2], L - 1)
-                (_, _, _), (chain_rest, alive_rest) = jax.lax.scan(
-                    walk_body, (v1, v0, jnp.ones_like(v1, jnp.bool_)),
-                    step_keys)
-
-            # chains: [L+1, W]
-            chain = jnp.concatenate(
-                [v0[None], v1[None], chain_rest], axis=0)
-            alive = jnp.concatenate(
-                [jnp.ones((2, W), jnp.bool_), alive_rest], axis=0)
-            # cumulative validity: position j valid iff all steps up to j alive
-            valid = jnp.cumprod(alive.astype(jnp.int32), axis=0) > 0
-
-            # interleave slots walk-major ([W, pairs_per_walk] flattened) so
-            # the truncation overshoot drops whole trailing walks instead of
-            # deterministically undersampling the largest-hop class
-            hs, ts, ms = [], [], []
-            for k in range(1, aug + 1):
-                hs.append(chain[: L + 1 - k].T)          # [W, L+1-k]
-                ts.append(chain[k:].T)
-                ms.append((valid[: L + 1 - k] & valid[k:]).T)
-            h = jnp.concatenate(hs, axis=1).reshape(-1)[:batch_size]
-            t = jnp.concatenate(ts, axis=1).reshape(-1)[:batch_size]
-            m = (jnp.concatenate(ms, axis=1).reshape(-1)[:batch_size]
-                 .astype(jnp.float32))
-            return h, t, m
+        def sample(key, *arrays):
+            chain, valid = chain_fn(key, *arrays)
+            h, t, m = emit_walk_pairs(chain, valid, aug)
+            return (h[:batch_size], t[:batch_size],
+                    m[:batch_size].astype(jnp.float32))
 
         return sample

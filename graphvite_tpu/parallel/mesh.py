@@ -220,20 +220,32 @@ def make_sharded_graph_step(model, opt: Optimizer, num_negative: int,
 class ShardedGraphTrainer:
     """Episode-scheduled sharded training, fully device-resident.
 
-    Per device: stationary head-role shard (vertex table + moments) and
-    block edge tables (blocks (i, *)); rotating tail-role shard (context
-    table + moments + per-partition negative alias arrays). One call to
-    `run_episode(e)` scans `ep_batches` batches sampled on-device from block
-    (i, (i + e) % P) and then rotates the tail role one step around the
-    ring via ppermute — the orthogonal episode schedule of solver.h:519-575
-    as static ICI communication.
+    Per device: stationary head-role shard (vertex table + moments);
+    rotating tail-role shard (context table + moments + per-partition
+    negative alias arrays). One call to `run_episode` scans `ep_batches`
+    batches for the resident (head=i, tail=(i+e)%P) block and then rotates
+    the tail role one step around the ring via ppermute — the orthogonal
+    episode schedule of solver.h:519-575 as static ICI communication.
+
+    Positive sampling per `sampler_mode`:
+
+    * "edges" (LINE / aug=1): per-device block alias tables
+      (BlockEdgeTables, edges pre-bucketed on host) — zero routing.
+    * "walks" (DeepWalk / node2vec): every device generates random walks
+      over the REPLICATED graph arrays (graph topology is small next to
+      embedding tables), emits aug-window pairs, routes each pair to the
+      device owning its head partition with one all_to_all, then buckets
+      the received pool by tail partition; episode e trains batches drawn
+      (with replacement) from bucket (i+e)%P. This replaces the reference's
+      CPU sampler threads + P x P sample pools (solver.h:417-462,
+      graph.cuh:376-450) with on-device generation + ICI routing.
     """
 
     def __init__(self, mesh: Mesh, partition: VertexPartition, dim: int,
                  model, opt: Optimizer, num_negative: int = 1,
                  negative_weight: float = 5.0, batch_size: int = 100000,
-                 ep_batches: int = 50, num_batch_total: int = 1000,
-                 axis: str = "p"):
+                 ep_batches: int = 50, axis: str = "p",
+                 sampler_mode: str = "edges", walk_cfg: Optional[dict] = None):
         self.mesh = mesh
         self.partition = partition
         self.axis = axis
@@ -241,8 +253,9 @@ class ShardedGraphTrainer:
         self.opt = opt
         self.batch_size = int(batch_size)
         self.ep_batches = int(ep_batches)
-        self.num_batch_total = int(num_batch_total)  # informational only
         self.rotation = 0
+        self.sampler_mode = sampler_mode
+        self.walk_cfg = dict(walk_cfg or {})
         self.num_partition = partition.num_partition
         assert self.num_partition == mesh.devices.size, \
             "one partition per device"
@@ -252,42 +265,27 @@ class ShardedGraphTrainer:
         step = make_sharded_graph_step(model, opt, num_negative,
                                        negative_weight)
 
-        def device_episode(state, blocks, neg_prob, neg_alias, neg_size,
-                           episode_idx, batch_id0, num_batch_total, keys):
-            # local shards (leading device axis stripped)
-            local = jax.tree_util.tree_map(lambda x: x[0], state)
-            bprob, balias, bheads, btails, boffsets = (
-                jax.tree_util.tree_map(lambda x: x[0], blocks))
-            nprob, nalias = neg_prob[0], neg_alias[0]
-            nsize = neg_size[0]
-            key0 = keys[0]
-            my = jax.lax.axis_index(self.axis)
-            j = (my + episode_idx) % P_
-            lo = boffsets[j]
-            hi = boffsets[j + 1]
-            n_block = jnp.maximum(hi - lo, 0)
+        def train_block(local, draw_batch, neg, key0, batch_id0,
+                        num_batch_total):
+            """Scan EP batches; draw_batch(key, i) -> (h, t, mask) local ids.
+            The LR schedule advances by P per batch: all devices train
+            concurrently, so global sample progress is P x the per-device
+            batch count."""
+            nprob, nalias, nsize = neg
 
             def body(carry, i):
                 st = carry
-                lr = opt.schedule_lr(batch_id0 + i, num_batch_total)
+                lr = opt.schedule_lr(batch_id0 + i * P_, num_batch_total)
                 key = jax.random.fold_in(key0, i)
                 ks, kt = jax.random.split(key)
-                u = jax.random.uniform(ks, (2, B))
-                safe_n = jnp.maximum(n_block, 1)
-                idx = lo + jnp.minimum((u[0] * safe_n).astype(jnp.int32),
-                                       safe_n - 1)
-                eid = jnp.where(u[1] < bprob[idx], idx, lo + balias[idx])
-                h = bheads[eid]
-                t = btails[eid]
-                mask = jnp.broadcast_to((n_block > 0).astype(jnp.float32),
-                                        (B,))
+                h, t, mask = draw_batch(ks, i)
                 new_st, loss = step(st, (h, t, mask), kt, lr, nprob, nalias,
                                     nsize)
                 return new_st, loss
 
-            local, losses = jax.lax.scan(
-                body, local, jnp.arange(EP, dtype=jnp.int32))
+            return jax.lax.scan(body, local, jnp.arange(EP, dtype=jnp.int32))
 
+        def rotate(local, nprob, nalias, nsize, losses):
             perm = [(i, (i - 1) % P_) for i in range(P_)]
 
             def rot(x):
@@ -301,19 +299,126 @@ class ShardedGraphTrainer:
                          "moments": (v_moms, c_moms)}
             out_state = jax.tree_util.tree_map(lambda x: x[None], out_state)
             return (out_state,
-                    (rot(nprob)[None], rot(nalias)[None],
-                     rot(nsize[None])),
+                    (rot(nprob)[None], rot(nalias)[None], rot(nsize[None])),
                     losses[None])
 
+        def episode_edges(state, blocks, neg_prob, neg_alias, neg_size,
+                          episode_idx, batch_id0, num_batch_total, keys):
+            # local shards (leading device axis stripped)
+            local = jax.tree_util.tree_map(lambda x: x[0], state)
+            bprob, balias, bheads, btails, boffsets = (
+                jax.tree_util.tree_map(lambda x: x[0], blocks))
+            neg = (neg_prob[0], neg_alias[0], neg_size[0])
+            key0 = keys[0]
+            my = jax.lax.axis_index(self.axis)
+            j = (my + episode_idx) % P_
+            lo = boffsets[j]
+            hi = boffsets[j + 1]
+            n_block = jnp.maximum(hi - lo, 0)
+
+            def draw_batch(ks, i):
+                u = jax.random.uniform(ks, (2, B))
+                safe_n = jnp.maximum(n_block, 1)
+                idx = lo + jnp.minimum((u[0] * safe_n).astype(jnp.int32),
+                                       safe_n - 1)
+                eid = jnp.where(u[1] < bprob[idx], idx, lo + balias[idx])
+                mask = jnp.broadcast_to((n_block > 0).astype(jnp.float32),
+                                        (B,))
+                return bheads[eid], btails[eid], mask
+
+            local, losses = train_block(local, draw_batch, neg, key0,
+                                        batch_id0, num_batch_total)
+            return rotate(local, *neg, losses)
+
+        def episode_walks(state, walk_arrays, part_of, local_of,
+                          neg_prob, neg_alias, neg_size,
+                          episode_idx, batch_id0, num_batch_total, keys):
+            from graphvite_tpu.ops.device_sampler import (make_walk_chain_fn,
+                                                          emit_walk_pairs)
+
+            cfg = self.walk_cfg
+            aug = cfg["augmentation_step"]
+            Lw = cfg["walk_length"]
+            Wp = cfg["pool_walks"]
+            ppw = sum(Lw + 1 - k for k in range(1, aug + 1))
+            S = Wp * ppw
+            C = -(-2 * S // P_)          # per-destination capacity, 2x slack
+            chain_fn = make_walk_chain_fn(
+                cfg["uniform"], Lw, Wp, biased=cfg.get("biased", False),
+                p=cfg.get("p", 1.0), q=cfg.get("q", 1.0))
+
+            local = jax.tree_util.tree_map(lambda x: x[0], state)
+            neg = (neg_prob[0], neg_alias[0], neg_size[0])
+            key0 = keys[0]
+            my = jax.lax.axis_index(self.axis)
+            j = (my + episode_idx) % P_
+
+            # -- build the pair pool: walk, emit, route to owners ------------
+            kp, kb = jax.random.split(jax.random.fold_in(key0, EP + 1))
+            chain, valid = chain_fn(kp, *walk_arrays)
+            h, t, m = emit_walk_pairs(chain, valid, aug)      # [S] global ids
+            owner = jnp.where(m, part_of[h], P_)              # invalid -> P
+            order = jnp.argsort(owner)
+            h, t, owner = h[order], t[order], owner[order]
+            off = jnp.searchsorted(owner, jnp.arange(P_ + 1, dtype=owner.dtype))
+            # send buffer: for dst p, slots off[p] + 0..C-1 (masked past count)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (P_, C), 1)
+            src = jnp.minimum(off[:-1, None] + slot, S - 1)
+            send_ok = slot < (off[1:, None] - off[:-1, None])
+            payload = jnp.stack(
+                [jnp.where(send_ok, h[src], 0),
+                 jnp.where(send_ok, t[src], 0),
+                 send_ok.astype(jnp.int32)], axis=-1)         # [P, C, 3]
+            recv = jax.lax.all_to_all(payload, self.axis, 0, 0, tiled=False)
+            rh = recv[..., 0].reshape(-1)                     # [P*C]
+            rt = recv[..., 1].reshape(-1)
+            rvalid = recv[..., 2].reshape(-1) > 0
+            # -- bucket the received pool by tail partition ------------------
+            tp = jnp.where(rvalid, part_of[rt], P_)
+            order2 = jnp.argsort(tp)
+            pool_h = local_of[rh[order2]]
+            pool_t = local_of[rt[order2]]
+            tp = tp[order2]
+            boff = jnp.searchsorted(tp, jnp.arange(P_ + 1, dtype=tp.dtype))
+            lo = boff[j]
+            n_bucket = jnp.maximum(boff[j + 1] - lo, 0)
+
+            def draw_batch(ks, i):
+                u = jax.random.uniform(ks, (B,))
+                safe_n = jnp.maximum(n_bucket, 1)
+                idx = lo + jnp.minimum((u * safe_n).astype(jnp.int32),
+                                       safe_n - 1)
+                mask = jnp.broadcast_to((n_bucket > 0).astype(jnp.float32),
+                                        (B,))
+                return pool_h[idx], pool_t[idx], mask
+
+            local, losses = train_block(local, draw_batch, neg, key0,
+                                        batch_id0, num_batch_total)
+            return rotate(local, *neg, losses)
+
         pspec = P(axis)
-        self._episode_fn = jax.jit(
-            jax.shard_map(
-                device_episode, mesh=mesh,
-                in_specs=(pspec, pspec, pspec, pspec, pspec,
-                          P(), P(), P(), pspec),
-                out_specs=(pspec, (pspec, pspec, pspec), pspec),
-                check_vma=False),
-            donate_argnums=(0,))
+        rep = P()
+        if sampler_mode == "edges":
+            self._episode_fn = jax.jit(
+                jax.shard_map(
+                    episode_edges, mesh=mesh,
+                    in_specs=(pspec, pspec, pspec, pspec, pspec,
+                              rep, rep, rep, pspec),
+                    out_specs=(pspec, (pspec, pspec, pspec), pspec),
+                    check_vma=False),
+                donate_argnums=(0,))
+        elif sampler_mode == "walks":
+            n_arrays = 9 if self.walk_cfg.get("biased") else 8
+            self._episode_fn = jax.jit(
+                jax.shard_map(
+                    episode_walks, mesh=mesh,
+                    in_specs=(pspec, (rep,) * n_arrays, rep, rep,
+                              pspec, pspec, pspec, rep, rep, rep, pspec),
+                    out_specs=(pspec, (pspec, pspec, pspec), pspec),
+                    check_vma=False),
+                donate_argnums=(0,))
+        else:
+            raise ValueError(sampler_mode)
 
     # -- host-side state construction -------------------------------------
     def init_state(self, vertex_np: np.ndarray, context_np: np.ndarray):
@@ -344,13 +449,53 @@ class ShardedGraphTrainer:
         return BlockEdgeTables(graph, self.partition).device_arrays(
             self.mesh, self.axis)
 
-    def run_episode(self, state, blocks, neg_state, batch_id0,
+    def build_sample_state(self, graph):
+        """Device arrays for positive sampling: block alias tables (edges
+        mode, sharded) or replicated walk arrays + partition maps (walks)."""
+        if self.sampler_mode == "edges":
+            return self.build_blocks(graph)
+        rep = NamedSharding(self.mesh, P())
+        t = AliasTable(graph.edge_weights)
+        w = np.asarray(graph.csr_weights, np.float64)
+        uniform = bool(w.size == 0 or np.all(w == w[0]))
+        self.walk_cfg["uniform"] = uniform
+        if uniform:
+            nbr_prob = np.zeros(0, np.float32)
+            nbr_alias = np.zeros(0, np.int32)
+        else:
+            from graphvite_tpu.ops.alias import PackedAliasTables
+            packed = PackedAliasTables(w, graph.indptr)
+            nbr_prob = packed.prob.astype(np.float32)
+            nbr_alias = packed.alias.astype(np.int32)
+        arrays = [t.prob.astype(np.float32), t.alias.astype(np.int32),
+                  np.asarray(graph.edge_heads, np.int32),
+                  np.asarray(graph.edge_tails, np.int32),
+                  np.asarray(graph.indptr, np.int32),
+                  np.asarray(graph.indices, np.int32),
+                  nbr_prob, nbr_alias]
+        if self.walk_cfg.get("biased"):
+            order = np.lexsort((graph.indices,
+                                np.repeat(np.arange(graph.indptr.size - 1),
+                                          np.diff(graph.indptr))))
+            arrays.append(np.asarray(graph.indices[order], np.int32))
+        walk_arrays = tuple(jax.device_put(a, rep) for a in arrays)
+        part_of = jax.device_put(self.partition.part_of.astype(np.int32), rep)
+        local_of = jax.device_put(self.partition.local_of.astype(np.int32),
+                                  rep)
+        return (walk_arrays, part_of, local_of)
+
+    def run_episode(self, state, sample_state, neg_state, batch_id0,
                     num_batch_total, seed):
         keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(seed), self.rotation),
             self.num_partition)
+        if self.sampler_mode == "edges":
+            args = (state, sample_state)
+        else:
+            walk_arrays, part_of, local_of = sample_state
+            args = (state, walk_arrays, part_of, local_of)
         state, neg_state, losses = self._episode_fn(
-            state, blocks, *neg_state,
+            *args, *neg_state,
             jnp.int32(self.rotation % self.num_partition),
             jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
         self.rotation += 1

@@ -38,13 +38,25 @@ class SolverBase:
 
     def __init__(self, dim, float_type=np.float32, index_type=np.int32,
                  device_ids=None, num_sampler_per_worker=auto,
-                 gpu_memory_limit=auto, seed=1024, sampler_backend="device"):
+                 gpu_memory_limit=auto, seed=1024, sampler_backend="device",
+                 num_worker=1):
         # device_ids / memory limits are accepted for API parity with the
         # reference; placement is managed by JAX (single chip or mesh).
         # sampler_backend: "device" generates positives inside the jitted
         # step from device-resident alias tables (zero host traffic);
         # "host" uses the numpy prefetching pipeline (oracle / fallback).
+        # num_worker > 1 partitions the embedding tables over a
+        # `jax.sharding.Mesh` of that many devices and trains with the
+        # episode-scheduled sharded engine (parallel/mesh.py) — the
+        # reference's multi-GPU mode (solver.h:519-654) as ICI collectives.
         self.sampler_backend = sampler_backend
+        if num_worker in (auto, None):
+            num_worker = 1
+        self.num_worker = int(num_worker)
+        if self.num_worker > 1 and len(jax.devices()) < self.num_worker:
+            raise ValueError(
+                "num_worker=%d but only %d devices visible"
+                % (self.num_worker, len(jax.devices())))
         self.dim = int(dim)
         self.float_type = np.dtype(float_type)
         self.index_type = np.dtype(index_type)
@@ -413,6 +425,111 @@ class GraphSolver(SolverBase):
     def context_embeddings(self):
         return self.table(1)
 
+    def _train_loop_mesh(self, model_name, num_epoch, augmentation_step,
+                         random_walk_length, p, q, negative_weight,
+                         negative_sample_exponent, log_frequency):
+        """Multichip episode engine: head-partitioned vertex shards,
+        ring-rotating context shards, on-device block/walk sampling
+        (parallel/mesh.py; the product path for num_worker > 1)."""
+        from graphvite_tpu.parallel.mesh import (VertexPartition,
+                                                 ShardedGraphTrainer,
+                                                 make_mesh)
+
+        P_ = self.num_worker
+        # per-device tables hold ~V/P rows: the staleness touch cap scales
+        # with the resident shard, while P devices train concurrently
+        import os as _os
+        live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
+        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
+        mem_cap = max(int(budget / max(live_bytes, 1)), 512)
+        tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
+        cap_rows = max(self.graph.num_vertex // P_, 1)
+        touch_cap = max(int(tau * cap_rows / (self.num_negative + 2)), 512)
+        batch_size = min(self.batch_size, mem_cap, touch_cap)
+        if batch_size < self.batch_size:
+            logger.info("batch_size %d -> %d per device (mesh of %d)",
+                        self.batch_size, batch_size, P_)
+        self.effective_batch = batch_size
+        num_edge = self.graph.num_edge
+        self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
+        walks = int(augmentation_step) > 1
+        ep_batches = max(min(8 if walks else self._episode_batches(),
+                             max(self.num_batch // P_, 1)), 1)
+
+        key = (id(self.graph), "mesh", model_name, self.optimizer,
+               self.num_negative, float(negative_weight), P_, batch_size,
+               ep_batches, int(augmentation_step), int(random_walk_length),
+               float(p), float(q), float(negative_sample_exponent))
+        if getattr(self, "_mesh_key", None) != key:
+            part = VertexPartition(np.asarray(self.graph.degrees), P_)
+            mesh = make_mesh(P_)
+            if walks:
+                ppw = sum(int(random_walk_length) + 1 - k
+                          for k in range(1, int(augmentation_step) + 1))
+                walk_cfg = dict(
+                    augmentation_step=int(augmentation_step),
+                    walk_length=int(random_walk_length),
+                    pool_walks=max(-(-2 * batch_size * P_ // ppw), 1),
+                    biased=(model_name == "node2vec"), p=float(p),
+                    q=float(q))
+                trainer = ShardedGraphTrainer(
+                    mesh, part, self.dim, GRAPH_MODELS[model_name],
+                    self.optimizer, self.num_negative,
+                    float(negative_weight), batch_size, ep_batches,
+                    sampler_mode="walks", walk_cfg=walk_cfg)
+            else:
+                trainer = ShardedGraphTrainer(
+                    mesh, part, self.dim, GRAPH_MODELS[model_name],
+                    self.optimizer, self.num_negative,
+                    float(negative_weight), batch_size, ep_batches,
+                    sampler_mode="edges")
+            self._mesh_trainer = trainer
+            self._mesh_sample_state = trainer.build_sample_state(self.graph)
+            self._mesh_key = key
+        trainer = self._mesh_trainer
+        trainer.rotation = 0
+
+        state = trainer.init_state(np.asarray(self.state["tables"][0]),
+                                   np.asarray(self.state["tables"][1]))
+        neg_state = trainer.init_negative_state(
+            np.asarray(self.graph.vertex_weights), negative_sample_exponent)
+        sample_state = self._mesh_sample_state
+        logger.info("training %s on %d devices: %d batches of %d "
+                    "(episodes of %d)", model_name, P_, self.num_batch,
+                    batch_size, ep_batches)
+        next_log = log_frequency
+        losses_acc = []
+        seed = self.seed
+        while self.batch_id < self.num_batch:
+            state, neg_state, losses = trainer.run_episode(
+                state, sample_state, neg_state, self.batch_id,
+                self.num_batch, seed)
+            self.batch_id += ep_batches * P_
+            losses_acc.append(np.asarray(losses).reshape(-1))
+            if self.batch_id >= next_log or self.batch_id >= self.num_batch:
+                l = np.concatenate(losses_acc)
+                l = l[l > 0]  # zero-loss episodes = empty blocks
+                logger.info("Batch id: %d / %d, loss = %.6g",
+                            min(self.batch_id, self.num_batch),
+                            self.num_batch,
+                            float(l.mean()) if l.size else 0.0)
+                losses_acc = []
+                next_log = self.batch_id + log_frequency
+        v, c = trainer.gather_tables(state)
+        moments = state["moments"]
+        # moments come back partition-sharded; restore canonical [V, D]
+        part = trainer.partition
+        e = trainer.rotation % trainer.num_partition
+        unrot = lambda x: np.roll(np.asarray(x), e, axis=0)
+        self.state = {
+            "tables": (jnp.asarray(v), jnp.asarray(c)),
+            "moments": (
+                tuple(jnp.asarray(part.unshard_rows(np.asarray(m)))
+                      for m in moments[0]),
+                tuple(jnp.asarray(part.unshard_rows(unrot(m)))
+                      for m in moments[1])),
+        }
+
     def train(self, model="LINE", num_epoch=2000, resume=False,
               augmentation_step=auto, random_walk_length=40,
               random_walk_batch_size=100, shuffle_base=auto, p=1.0, q=1.0,
@@ -439,6 +556,15 @@ class GraphSolver(SolverBase):
         if augmentation_step > random_walk_length:
             raise ValueError("`random_walk_length` must be >= `augmentation_step`")
         self.augmentation_step = augmentation_step
+
+        if self.num_worker > 1:
+            # mesh mode builds per-partition negative alias tables itself
+            self._train_loop_mesh(model, num_epoch, augmentation_step,
+                                  random_walk_length, p, q,
+                                  float(negative_weight),
+                                  float(negative_sample_exponent),
+                                  log_frequency)
+            return
 
         # negative sampler: tail-side, degree^exponent (solver.h:1264-1278)
         weights = np.asarray(self.graph.vertex_weights, dtype=np.float64)

@@ -207,3 +207,84 @@ def test_replicated_kg_trainer():
     assert np.mean(losses_all[-3:]) < np.mean(losses_all[:3])
     # tables must be identical across devices (replicated after psum)
     assert not np.allclose(ent_out, ent)  # actually trained
+
+
+# -- product path: solver.train() routes to the mesh engine ------------------
+
+def _auc_vc(g, v, c, seed=1):
+    rng = np.random.default_rng(seed)
+    half = g.num_vertex // 2
+    k = 300
+    sel = rng.choice(g.num_directed_edge, size=k, replace=False)
+    pos = np.stack([g.edge_heads[sel], g.edge_tails[sel]], axis=1)
+    neg = np.stack([rng.integers(half, size=k),
+                    rng.integers(half, size=k) + half], axis=1)
+    ps = np.einsum("ij,ij->i", v[pos[:, 0]], c[pos[:, 1]])
+    ns = np.einsum("ij,ij->i", v[neg[:, 0]], c[neg[:, 1]])
+    return (ps[:, None] > ns[None, :]).mean()
+
+
+def test_solver_mesh_line():
+    """GraphSolver.train with num_worker > 1 trains LINE through the sharded
+    episode engine and reaches the same quality bar as single-chip."""
+    from graphvite_tpu.solver import GraphSolver
+
+    g = two_blocks(100)
+    solver = GraphSolver(dim=16, num_worker=4)
+    solver.build(g, num_negative=2, batch_size=256, episode_size=4)
+    solver.train(model="LINE", num_epoch=2400, augmentation_step=1,
+                 negative_weight=1.0, log_frequency=10**9)
+    v, c = solver.vertex_embeddings, solver.context_embeddings
+    assert np.isfinite(v).all() and np.isfinite(c).all()
+    assert _auc_vc(g, v, c) > 0.9
+
+
+def test_solver_mesh_deepwalk():
+    """DeepWalk (walk-augmented sampling) through the mesh engine: walks are
+    generated on every device over the replicated graph, pairs routed to the
+    head-partition owner via all_to_all."""
+    from graphvite_tpu.solver import GraphSolver
+
+    g = two_blocks(100)
+    solver = GraphSolver(dim=16, num_worker=4)
+    solver.build(g, num_negative=2, batch_size=256, episode_size=4)
+    solver.train(model="DeepWalk", num_epoch=1200, augmentation_step=2,
+                 random_walk_length=6, negative_weight=1.0,
+                 log_frequency=10**9)
+    v, c = solver.vertex_embeddings, solver.context_embeddings
+    assert np.isfinite(v).all() and np.isfinite(c).all()
+    assert _auc_vc(g, v, c) > 0.85
+
+
+def test_solver_mesh_matches_single_chip_loss():
+    """Final mesh-mode loss is within noise of the single-chip loss for the
+    same hyperparameters (VERDICT round-1 item 2 acceptance)."""
+    from graphvite_tpu.solver import GraphSolver
+
+    g = two_blocks(100)
+
+    def final_loss(num_worker):
+        import logging
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, r):
+                records.append(r.getMessage())
+
+        from graphvite_tpu.utils.common import logger as glog
+        h = Grab()
+        glog.addHandler(h)
+        try:
+            solver = GraphSolver(dim=16, num_worker=num_worker, seed=7)
+            solver.build(g, num_negative=2, batch_size=256, episode_size=4)
+            solver.train(model="LINE", num_epoch=1200, augmentation_step=1,
+                         negative_weight=1.0, log_frequency=10**9)
+        finally:
+            glog.removeHandler(h)
+        losses = [float(m.rsplit("=", 1)[1]) for m in records
+                  if "loss =" in m]
+        return losses[-1]
+
+    single = final_loss(1)
+    mesh = final_loss(4)
+    assert abs(single - mesh) / max(single, 1e-9) < 0.25, (single, mesh)
