@@ -264,8 +264,9 @@ class KnowledgeGraphApplication(ApplicationMixin):
         return graph_mod.KnowledgeGraph()
 
     def get_solver(self, **kwargs):
-        return solver_mod.KnowledgeGraphSolver(self.dim, self.float_type,
-                                               self.index_type)
+        return solver_mod.KnowledgeGraphSolver(
+            self.dim, self.float_type, self.index_type,
+            num_worker=max(len(self.gpus), 1))
 
     def _load_dispatch(self, triplet_list=None, **kwargs):
         if triplet_list is not None:

@@ -167,12 +167,116 @@ def kg_score_all(model_name, entity, relation, h, r, t, target,
     return np.concatenate(out)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _make_rank_fn(model_name, side, b, cand_block, nblk, num_entity,
+                  margin_or_l3):
+    """Jitted streaming rank kernel: never materializes [b, V] on host.
+
+    rank = #(candidates with score >= truth) - #(excluded with score >=
+    truth, excluding the positive itself): candidate blocks are scanned
+    on-device accumulating counts; excluded triplets are scored directly
+    (a tiny [P] batch), so host memory stays O(b) regardless of V
+    (the scaling fix over the reference's memory-sized predict pools,
+    application.py:948-961)."""
+    model = KG_MODELS[model_name]
+    bilinear = model_name in BILINEAR_MODELS
+
+    @jax.jit
+    def ranks(ent_pad, rel, fixed_ids, rels, pos, ex_rows, ex_ents,
+              ex_valid):
+        dim = ent_pad.shape[1]
+        fixed = ent_pad[fixed_ids]                       # [b, D]
+        rrow = rel[rels]
+        posrow = ent_pad[pos]
+
+        def pair_score(cand, fix, rr):
+            c = cand[:, None, :]
+            f = fix[:, None, :]
+            if side == "head":
+                return model.score(c, f, rr[:, None, :], margin_or_l3)[:, 0]
+            return model.score(f, c, rr[:, None, :], margin_or_l3)[:, 0]
+
+        truth = pair_score(posrow, fixed, rrow)          # [b]
+
+        if bilinear:
+            # one-vs-all on the MXU: the score is linear in the candidate
+            # row, so q = d(score)/d(candidate) and scores = q @ ent^T
+            ones = jnp.ones((b, 1), ent_pad.dtype)
+            hrow = posrow if side == "head" else fixed
+            trow = fixed if side == "head" else posrow
+            gh, gt, _ = model.backward(hrow[:, None, :], trow[:, None, :],
+                                       rrow[:, None, :], ones, 0.0)
+            q = (gh if side == "head" else gt)[:, 0, :]  # [b, D]
+            truth = jnp.einsum("bd,bd->b", q, posrow)
+
+        ent_blocks = ent_pad.reshape(nblk, cand_block, dim)
+
+        def blk(carry, xs):
+            blk_i, blk_ent = xs
+            base = blk_i * cand_block
+            gidx = base + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (1, cand_block), 1)
+            valid = gidx < num_entity                    # [1, Vc]
+            if bilinear:
+                s = jnp.dot(q, blk_ent.T,
+                            preferred_element_type=jnp.float32)
+            else:
+                c = blk_ent[None, :, :]
+                f = fixed[:, None, :]
+                r_ = rrow[:, None, :]
+                s = (model.score(c, f, r_, margin_or_l3) if side == "head"
+                     else model.score(f, c, r_, margin_or_l3))
+            cnt = jnp.sum((s >= truth[:, None]) & valid, axis=1,
+                          dtype=jnp.int32)
+            return carry + cnt, None
+
+        total_ge, _ = jax.lax.scan(
+            blk, jnp.zeros((b,), jnp.int32),
+            (jnp.arange(nblk, dtype=jnp.int32), ent_blocks))
+
+        # excluded candidates, scored directly
+        cand = ent_pad[jnp.minimum(ex_ents, ent_pad.shape[0] - 1)]
+        es = pair_score(cand, fixed[ex_rows], rrow[ex_rows])
+        if bilinear:
+            es = jnp.einsum("pd,pd->p", q[ex_rows], cand)
+        hit = ((es >= truth[ex_rows]) & ex_valid
+               & (ex_ents != pos[ex_rows]))
+        excl_ge = jax.ops.segment_sum(hit.astype(jnp.int32), ex_rows,
+                                      num_segments=b)
+        # the positive itself always counts (mask[positives] = True in the
+        # dense reference): clip to 1 in case broadcast-vs-block rounding
+        # drops the self-comparison
+        return jnp.maximum(total_ge - excl_ge, 1)
+
+    return ranks
+
+
 def filtered_rankings(model_name, entity, relation, H, R, T, exclude_H,
                       exclude_T, margin_or_l3, target="both"):
     """Optimistic filtered rank per triplet: rank = #(masked scores >= truth)
     with known true triplets (except the test one) masked out
-    (application.py:842-855)."""
-    num_entity = entity.shape[0]
+    (application.py:842-855). Streaming: candidate blocks are scanned
+    on-device and only per-triplet counts return to host, so 5M-entity
+    tables evaluate in bounded host memory."""
+    num_entity, dim = entity.shape
+    bilinear = model_name in BILINEAR_MODELS
+    if bilinear:
+        cand_block = 8192
+        b = 1024
+    else:
+        cand_block = 2048
+        b = max(min(int(512e6 / (cand_block * dim * 4)), 512), 16)
+    nblk = -(-num_entity // cand_block)
+    ent_pad = jnp.zeros((nblk * cand_block, dim), jnp.float32).at[
+        :num_entity].set(jnp.asarray(entity, jnp.float32))
+    rel_dev = jnp.asarray(relation, jnp.float32)
+
+    H = np.asarray(H, dtype=np.int64)
+    R = np.asarray(R, dtype=np.int64)
+    T = np.asarray(T, dtype=np.int64)
     rankings = []
     sides = []
     if target in ("head", "both"):
@@ -180,19 +284,43 @@ def filtered_rankings(model_name, entity, relation, H, R, T, exclude_H,
     if target in ("tail", "both"):
         sides.append("tail")
     for side in sides:
-        scores = kg_score_all(model_name, entity, relation, H, R, T, side,
-                              margin_or_l3)
+        fn = _make_rank_fn(model_name, side, b, cand_block, nblk, num_entity,
+                           float(margin_or_l3))
         positives = H if side == "head" else T
+        fixed_all = T if side == "head" else H
         exclude = exclude_H if side == "head" else exclude_T
-        for i, (hh, rr, tt) in enumerate(zip(H, R, T)):
-            key = (tt, rr) if side == "head" else (hh, rr)
-            mask = np.ones(num_entity, dtype=bool)
-            excl = exclude.get(key)
-            if excl:
-                mask[list(excl)] = False
-            mask[positives[i]] = True
-            truth = scores[i, positives[i]]
-            rankings.append(int(((scores[i] >= truth) & mask).sum()))
+        n = len(H)
+        for i in range(0, n, b):
+            sl = slice(i, min(i + b, n))
+            m = sl.stop - sl.start
+            pad = b - m
+            fixed = np.concatenate([fixed_all[sl], np.zeros(pad, np.int64)])
+            rels = np.concatenate([R[sl], np.zeros(pad, np.int64)])
+            pos = np.concatenate([positives[sl], np.zeros(pad, np.int64)])
+            rows, ents = [], []
+            for j in range(m):
+                key = ((T[sl][j], R[sl][j]) if side == "head"
+                       else (H[sl][j], R[sl][j]))
+                for e in exclude.get(key, ()):
+                    rows.append(j)
+                    ents.append(e)
+            np_pairs = max(len(rows), 1)
+            padded = 1 << (np_pairs - 1).bit_length()     # retrace buckets
+            ex_rows = np.zeros(padded, np.int32)
+            ex_ents = np.full(padded, num_entity, np.int64)
+            ex_valid = np.zeros(padded, bool)
+            if rows:
+                ex_rows[:len(rows)] = rows
+                ex_ents[:len(rows)] = ents
+                ex_valid[:len(rows)] = True
+            r = np.asarray(fn(ent_pad, rel_dev,
+                              jnp.asarray(fixed, jnp.int32),
+                              jnp.asarray(rels, jnp.int32),
+                              jnp.asarray(pos, jnp.int32),
+                              jnp.asarray(ex_rows, jnp.int32),
+                              jnp.asarray(ex_ents, jnp.int32),
+                              jnp.asarray(ex_valid)))
+            rankings.extend(int(x) for x in r[:m])
     return np.asarray(rankings, dtype=np.float64)
 
 

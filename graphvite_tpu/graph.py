@@ -270,6 +270,13 @@ class KnowledgeGraph:
     def num_entity(self):
         return self.num_vertex
 
+    @property
+    def degrees(self):
+        """Entity occurrence counts (head + tail roles) — the sort key for
+        the zigzag entity partition (solver.h:873-887)."""
+        return (np.bincount(self.edge_heads, minlength=self.num_vertex)
+                + np.bincount(self.edge_tails, minlength=self.num_vertex))
+
     def info(self):
         return ("#entity: %d, #relation: %d\n#triplet: %d, normalization: %s"
                 % (self.num_vertex, self.num_relation, self.num_edge,

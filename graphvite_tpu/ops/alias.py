@@ -134,18 +134,40 @@ class PackedAliasTables:
 
 
 def device_alias_arrays(table: AliasTable, dtype=np.float32):
-    """(prob, alias) ready for upload as device negative-sampler state."""
+    """(prob, alias) ready for upload as device negative-sampler state.
+
+    When the table fits (n < 2^24, where int32 survives an f32 round-trip),
+    prob and alias are PACKED into one [n, 2] f32 array so the per-sample
+    alias decision costs ONE row gather instead of two 1-element gathers —
+    scalar gathers run at ~11.5ns/row on v5e regardless of row width, so
+    halving the gather count halves the sampling cost (tools/microbench.py
+    sample_packed).
+    """
+    n = table.prob.shape[0]
+    if 0 < n < (1 << 24):
+        packed = np.stack([table.prob.astype(dtype),
+                           table.alias.astype(dtype)], axis=1)
+        return (packed,)
     return table.prob.astype(dtype), table.alias.astype(np.int32)
 
 
-def device_sample(prob, alias, u1, u2):
-    """Sample from a device-resident alias table inside jit.
+def device_sample(*args):
+    """Sample from device-resident alias arrays inside jit.
 
-    Args are jnp arrays; u1/u2 uniform in [0,1) with the sample shape.
-    Mirrors alias_table.cuh:148-152.
+    Accepts either (packed[n,2], u1, u2) or (prob[n], alias[n], u1, u2);
+    u1/u2 uniform in [0,1) with the sample shape. Decision rule mirrors
+    alias_table.cuh:148-152.
     """
     import jax.numpy as jnp
 
+    if len(args) == 3:
+        packed, u1, u2 = args
+        n = packed.shape[0]
+        idx = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
+        rows = packed[idx]                       # one gather of [.., 2]
+        keep = u2 < rows[..., 0]
+        return jnp.where(keep, idx, rows[..., 1].astype(jnp.int32))
+    prob, alias, u1, u2 = args
     n = prob.shape[0]
     idx = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
     keep = u2 < prob[idx]

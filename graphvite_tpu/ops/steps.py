@@ -74,7 +74,7 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
     """state tables: (vertex, context); batch: (heads[B], tails[B]);
     negative sampler state: (prob[Vc], alias[Vc]) device alias arrays."""
 
-    def step(state, heads, tails, key, lr, neg_prob, neg_alias, mask=None):
+    def step(state, heads, tails, key, lr, *neg_state, mask=None):
         vertex, context = state["tables"]
         v_moms, c_moms = state["moments"]
         b = heads.shape[0]
@@ -82,7 +82,7 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
         k1, k2 = jax.random.split(key)
         u1 = jax.random.uniform(k1, (b, k))
         u2 = jax.random.uniform(k2, (b, k))
-        negs = device_sample(neg_prob, neg_alias, u1, u2)
+        negs = device_sample(*neg_state, u1, u2)
 
         v = vertex[heads]                                    # [B, D]
         ctx_ids = jnp.concatenate([negs, tails[:, None]], axis=1)  # [B, K+1]
@@ -141,16 +141,23 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
     (the split-id trick of gpu/knowledge_graph.cuh:65-69 applied to the
     whole entity table instead of a partition pair)."""
 
-    def step(state, heads, tails, rels, key, lr, mask=None):
+    def step(state, heads, tails, rels, key, lr, mask=None, negatives=None):
         entity, relation = state["tables"]
         e_moms, r_moms = state["moments"]
         b = heads.shape[0]
         k = num_negative
         num_entity = entity.shape[0]
 
-        neg_ids = jax.random.randint(key, (b, k), 0, 2 * num_entity)
-        corrupt_head = neg_ids < num_entity
-        cand_ids = jnp.where(corrupt_head, neg_ids, neg_ids - num_entity)
+        if negatives is None:
+            neg_ids = jax.random.randint(key, (b, k), 0, 2 * num_entity)
+            corrupt_head = neg_ids < num_entity
+            cand_ids = jnp.where(corrupt_head, neg_ids,
+                                 neg_ids - num_entity)
+        else:
+            # caller-supplied corruption (the sharded trainer draws
+            # candidates from the resident entity partitions only,
+            # knowledge_graph.cuh:316-319)
+            cand_ids, corrupt_head = negatives
 
         # gather only the K+2 distinct rows per sample (positive head,
         # positive tail, K corruption candidates) instead of 2(K+1) — the
@@ -260,7 +267,7 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
                         negative_weight: float):
     SMOOTH = 0.1  # gpu/visualization.cuh:29
 
-    def step(state, heads, tails, key, lr, neg_prob, neg_alias, mask=None):
+    def step(state, heads, tails, key, lr, *neg_state, mask=None):
         (coord,) = state["tables"]
         (moms,) = state["moments"]
         b = heads.shape[0]
@@ -268,7 +275,7 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
         k1, k2 = jax.random.split(key)
         u1 = jax.random.uniform(k1, (b, k))
         u2 = jax.random.uniform(k2, (b, k))
-        negs = device_sample(neg_prob, neg_alias, u1, u2)
+        negs = device_sample(*neg_state, u1, u2)
 
         h = coord[heads][:, None, :]                         # [B, 1, D]
         t_ids = jnp.concatenate([negs, tails[:, None]], axis=1)

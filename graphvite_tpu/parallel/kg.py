@@ -1,20 +1,29 @@
-"""Data-parallel knowledge-graph training over a mesh.
+"""Knowledge-graph training over a mesh: replicated (naive-parallel) and
+partitioned (tied-weights sharded) modes.
 
 The reference trains KG embeddings with tied entity weights by staging 2P
-partitions under a diagonal schedule (knowledge_graph.cuh:531-533,
+partitions under a diagonal-butterfly schedule (knowledge_graph.cuh:531-533,
 solver.h:532-561); when no partitioned matrix exists it falls back to
 `naive_parallel`: full replicas per GPU, independent async training within
 an episode, deltas merged at write-back (solver.h:383, 526-529,
-naive_sample :975-1009). This module is that naive-parallel mode reborn as
-SPMD: tables replicated across the mesh, each device runs an episode of
-batches on its own sample stream (positives from a device-resident edge
-alias table, negatives uniform over entities — the split-id corruption of
-gpu/knowledge_graph.cuh:65-69), then the episode's table deltas are
-psum-merged over ICI. Optimizer moments stay device-local, mirroring the
-reference's per-GPU moment caches.
+naive_sample :975-1009).
 
-Partitioned (HBM-sharded) KG entity tables via a tournament schedule are
-the planned follow-up for graphs whose tables exceed replicated HBM.
+`ReplicatedKGTrainer` is that naive-parallel mode reborn as SPMD: tables
+replicated across the mesh, each device runs an episode on its own sample
+stream, episode table deltas psum-merged over ICI.
+
+`ShardedKGTrainer` is the partitioned mode: entities split into 2W
+partitions over W devices (two resident shards per device, the tied-weights
+arena), scheduled by a round-robin TOURNAMENT rotation instead of the
+reference's diagonal-butterfly order. The circle method guarantees every
+partition pair co-resides exactly once per sweep of 2W-1 rounds, and its
+seat rotation maps onto a FIXED ppermute pattern (one forward ring on
+slot-0 shards, one backward ring on slot-1 shards, one local crossover) —
+the same compiled transition every round, which is exactly what XLA wants.
+Relations stay replicated with psum-delta write-back (the kGlobal
+protocol's scatter_sub accumulation, solver.h:1410-1420); entity updates
+are always local to the resident shards, so the schedule-level race-freedom
+claim of the paper holds by construction.
 """
 from __future__ import annotations
 
@@ -120,3 +129,301 @@ class ReplicatedKGTrainer:
         return self._episode_fn(tables, moments, edge_arrays,
                                 jnp.int32(batch_id0),
                                 jnp.int32(num_batch_total), keys)
+
+
+class ShardedKGTrainer:
+    """Tied-weights sharded KG training (see module docstring).
+
+    Layout: entity arena [W, 2, cap, D] sharded on the device axis — device
+    d holds two partition shards in slots 0/1; relations [R, D] replicated;
+    relation moments per-device (the reference's per-GPU moment caches).
+
+    Seats: with M = 2W - 1 tournament seats plus one fixed seat F,
+    device 0 holds (F, seat 0) and device t holds (seat t, seat M-t).
+    Rotating every seat i -> i+1 (mod M) realizes all-pairs coverage and
+    decomposes into the fixed transition permutation implemented in
+    `_transition` (forward ring into slot 0, backward ring into slot 1,
+    local slot0->slot1 crossover at device W-1).
+
+    Blocks trained at a round, per device: (p0, p1) and (p1, p0); device 0
+    additionally trains the resident diagonals ((p1, p1) every round — each
+    partition passes through dev0 slot 1 exactly once per sweep — and
+    (F, F) once per sweep), so every (head-part, tail-part) block is
+    trained exactly once per sweep like the reference's full P x P
+    coverage (solver.h:532-561).
+    """
+
+    def __init__(self, mesh: Mesh, partition, dim: int, model, opt: Optimizer,
+                 num_negative: int = 8, margin_or_l3: float = 12.0,
+                 adversarial_temperature: float = 2.0,
+                 relation_lr_multiplier: float = 1.0,
+                 batch_size: int = 2048, ep_batches: int = 8,
+                 axis: str = "p"):
+        from graphvite_tpu.ops.steps import make_kg_train_step
+
+        self.mesh = mesh
+        self.partition = partition          # VertexPartition over 2W parts
+        self.axis = axis
+        self.dim = dim
+        self.opt = opt
+        self.batch_size = int(batch_size)
+        self.ep_batches = int(ep_batches)
+        W = mesh.devices.size
+        assert partition.num_partition == 2 * W, "tied weights need 2W parts"
+        self.num_worker = W
+        self.M = 2 * W - 1
+        cap = partition.capacity
+        self.cap = cap
+        B = self.batch_size
+        EP = self.ep_batches
+        K = int(num_negative)
+        P2 = 2 * W
+        step = make_kg_train_step(model, opt, K, margin_or_l3,
+                                  adversarial_temperature,
+                                  relation_lr_multiplier)
+        sizes_np = np.bincount(partition.part_of, minlength=P2).astype(
+            np.int32)
+        self._sizes_np = sizes_np
+
+        def device_episode(arena, arena_moms, rel, rel_moms,
+                           trip_h, trip_t, trip_r, block_off, sizes,
+                           p0s, p1s, diag_f, batch_id0, num_batch_total,
+                           keys):
+            my = jax.lax.axis_index(axis)
+            key0 = keys[0]
+            p0 = p0s[0]
+            p1 = p1s[0]
+            ent = arena[0].reshape(2 * cap, dim)      # flat resident arena
+            e_moms = tuple(m[0].reshape(2 * cap, dim) for m in arena_moms)
+            r_moms = tuple(m[0] for m in rel_moms)
+            rel0 = rel
+
+            # the four resident blocks: (hp, tp) with slot indices
+            is_dev0 = my == 0
+            want_diag = is_dev0
+            want_f = is_dev0 & (diag_f > 0)
+            bh = jnp.stack([p0, p1, p1, p0])          # block head partition
+            bt_ = jnp.stack([p1, p0, p1, p0])         # block tail partition
+            bsh = jnp.array([0, 1, 1, 0], jnp.int32)  # head slot per block
+            bst = jnp.array([1, 0, 1, 0], jnp.int32)
+            enabled = jnp.stack([
+                jnp.ones((), jnp.bool_), p0 != p1,
+                want_diag, want_f])
+            starts = block_off[bh * P2 + bt_]
+            ns = (block_off[bh * P2 + bt_ + 1] - starts) * enabled
+            cum = jnp.concatenate([jnp.zeros((1,), ns.dtype),
+                                   jnp.cumsum(ns)])
+            total = cum[4]
+            sz = jnp.stack([sizes[p0], sizes[p1]])    # resident part sizes
+
+            state = {"tables": (ent, rel),
+                     "moments": (e_moms, r_moms)}
+
+            def body(carry, i):
+                st = carry
+                lr = opt.schedule_lr(batch_id0 + i * W, num_batch_total)
+                key = jax.random.fold_in(key0, i)
+                ks, kn, kt = jax.random.split(key, 3)
+                u = jax.random.uniform(ks, (B,))
+                r = jnp.minimum((u * jnp.maximum(total, 1)).astype(jnp.int32),
+                                jnp.maximum(total - 1, 0))
+                blk = (r >= cum[1]).astype(jnp.int32) + \
+                      (r >= cum[2]).astype(jnp.int32) + \
+                      (r >= cum[3]).astype(jnp.int32)
+                idx = starts[blk] + (r - cum[blk])
+                sh = bsh[blk]
+                st_ = bst[blk]
+                h_arena = sh * cap + trip_h[idx]
+                t_arena = st_ * cap + trip_t[idx]
+                rels = trip_r[idx]
+                mask = jnp.broadcast_to((total > 0).astype(jnp.float32), (B,))
+                # negatives: uniform over resident head+tail partition
+                # entities with split-id corruption (the candidate's own
+                # partition decides which side it replaces,
+                # gpu/knowledge_graph.cuh:65-69 generalized to slots)
+                s_h = sz[sh]                           # [B]
+                s_t = sz[st_]
+                un = jax.random.uniform(kn, (B, K))
+                span = jnp.maximum(s_h + s_t, 1)[:, None]
+                rr = jnp.minimum((un * span).astype(jnp.int32), span - 1)
+                ch = rr < s_h[:, None]
+                cand_slot = jnp.where(ch, sh[:, None], st_[:, None])
+                cand_local = jnp.where(ch, rr, rr - s_h[:, None])
+                cand = cand_slot * cap + cand_local
+                new_st, loss = step(st, h_arena, t_arena, rels, kt, lr,
+                                    mask=mask, negatives=(cand, ch))
+                return new_st, loss
+
+            state, losses = jax.lax.scan(
+                body, state, jnp.arange(EP, dtype=jnp.int32))
+            ent_f, rel_f = state["tables"]
+            e_moms_f, r_moms_f = state["moments"]
+            # relations: kGlobal delta accumulation over the mesh. The
+            # reference sums all workers' deltas (scatter_sub,
+            # solver.h:1410-1420); with Adam that multiplies the effective
+            # relation step by W vs single-chip dynamics, so the default
+            # here is the mean (GRAPHVITE_REL_MERGE=sum restores parity).
+            import os as _os
+            scale = (1.0 if _os.environ.get("GRAPHVITE_REL_MERGE",
+                                            "mean") == "sum"
+                     else 1.0 / W)
+            rel_out = rel0 + scale * jax.lax.psum(rel_f - rel0, axis)
+            arena_out = ent_f.reshape(2, cap, dim)
+            e_moms_out = tuple(m.reshape(2, cap, dim) for m in e_moms_f)
+            # tournament seat rotation as a fixed permutation
+            arena_out, e_moms_out = self._transition_tree(
+                my, arena_out, e_moms_out)
+            return (arena_out[None],
+                    tuple(m[None] for m in e_moms_out),
+                    rel_out,
+                    tuple(m[None] for m in r_moms_f),
+                    losses[None])
+
+        def _noop(*_):
+            pass
+
+        self._transition_tree = self._make_transition(W, cap, dim, axis)
+        pspec = P(axis)
+        rep = P()
+        self._episode_fn = jax.jit(
+            jax.shard_map(
+                device_episode, mesh=mesh,
+                in_specs=(pspec, pspec, rep, pspec,
+                          rep, rep, rep, rep, rep,
+                          pspec, pspec, rep, rep, rep, pspec),
+                out_specs=(pspec, pspec, rep, pspec, pspec),
+                check_vma=False),
+            donate_argnums=(0, 1, 2, 3))
+        self.reset_schedule()
+
+    @staticmethod
+    def _make_transition(W, cap, dim, axis):
+        """Seat rotation i -> i+1 (mod M): forward ring into slot 0 (dev 0
+        feeds its slot 1 into the stream), backward ring into slot 1, local
+        slot0 -> slot1 crossover at device W-1."""
+
+        def transition(my, arena, moms):
+            if W == 1:
+                return arena, moms
+            fwd = [(d, d + 1) for d in range(W - 1)]
+            bwd = [(d, d - 1) for d in range(1, W)]
+
+            def move(x):
+                # x: [2, cap, D] local
+                send_fwd = jnp.where(my == 0, x[1], x[0])
+                got_fwd = jax.lax.ppermute(send_fwd, axis, fwd)
+                got_bwd = jax.lax.ppermute(x[1], axis, bwd)
+                new0 = jnp.where(my == 0, x[0], got_fwd)
+                new1 = jnp.where(my == W - 1, x[0], got_bwd)
+                return jnp.stack([new0, new1])
+
+            return move(arena), tuple(move(m) for m in moms)
+
+        return transition
+
+    # -- host-side schedule bookkeeping ---------------------------------
+    def reset_schedule(self):
+        W = self.num_worker
+        self.fixed = 0                              # partition at dev0 slot0
+        self.seats = list(range(1, 2 * W))          # seat i -> partition id
+        self.round = 0
+
+    def assignments(self):
+        """Current (slot0, slot1) partition ids per device."""
+        W, M = self.num_worker, self.M
+        out = [(self.fixed, self.seats[0])]
+        for t in range(1, W):
+            out.append((self.seats[t], self.seats[M - t]))
+        return out
+
+    def advance_schedule(self):
+        self.seats = [self.seats[-1]] + self.seats[:-1]
+        self.round += 1
+
+    # -- host-side state construction -----------------------------------
+    def init_state(self, entity_np, relation_np):
+        W, cap = self.num_worker, self.cap
+        part = self.partition
+        shard = NamedSharding(self.mesh, P(self.axis))
+        rep = NamedSharding(self.mesh, P())
+        self.reset_schedule()
+        arena_np = np.zeros((W, 2, cap, entity_np.shape[1]),
+                            entity_np.dtype)
+        for d, (a, b) in enumerate(self.assignments()):
+            for s, p in enumerate((a, b)):
+                m = part.members[p][part.valid[p]]
+                arena_np[d, s, : m.size] = entity_np[m]
+        arena = jax.device_put(arena_np, shard)
+        arena_moms = tuple(
+            jax.device_put(np.zeros_like(arena_np), shard)
+            for _ in range(self.opt.num_moment))
+        rel = jax.device_put(relation_np, rep)
+        rel_moms = tuple(
+            jax.device_put(np.zeros((W,) + relation_np.shape,
+                                    relation_np.dtype), shard)
+            for _ in range(self.opt.num_moment))
+        return {"arena": arena, "arena_moms": arena_moms,
+                "rel": rel, "rel_moms": rel_moms}
+
+    def init_triplets(self, kg):
+        """Replicated block-sorted triplet arrays + offsets."""
+        part = self.partition
+        P2 = part.num_partition
+        rep = NamedSharding(self.mesh, P())
+        h = np.asarray(kg.edge_heads)
+        t = np.asarray(kg.edge_tails)
+        r = np.asarray(kg.edge_relations)
+        hp = part.part_of[h]
+        tp = part.part_of[t]
+        block = hp.astype(np.int64) * P2 + tp
+        order = np.argsort(block, kind="stable")
+        block_off = np.searchsorted(block[order],
+                                    np.arange(P2 * P2 + 1)).astype(np.int32)
+        arrays = (part.local_of[h][order].astype(np.int32),
+                  part.local_of[t][order].astype(np.int32),
+                  r[order].astype(np.int32),
+                  block_off,
+                  self._sizes_np)
+        return tuple(jax.device_put(a, rep) for a in arrays)
+
+    def run_episode(self, state, triplets, batch_id0, num_batch_total, seed):
+        W = self.num_worker
+        shard = NamedSharding(self.mesh, P(self.axis))
+        asg = self.assignments()
+        p0s = jax.device_put(np.asarray([a for a, _ in asg], np.int32), shard)
+        p1s = jax.device_put(np.asarray([b for _, b in asg], np.int32), shard)
+        diag_f = jnp.int32(1 if self.round % self.M == 0 else 0)
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(seed), self.round), W)
+        arena, arena_moms, rel, rel_moms, losses = self._episode_fn(
+            state["arena"], state["arena_moms"], state["rel"],
+            state["rel_moms"], *triplets, p0s, p1s, diag_f,
+            jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
+        self.advance_schedule()
+        return ({"arena": arena, "arena_moms": arena_moms, "rel": rel,
+                 "rel_moms": rel_moms}, losses)
+
+    def gather_entities(self, state):
+        """[W, 2, cap, D] arena -> [V, D] host table using the seat map."""
+        part = self.partition
+        arena = np.asarray(state["arena"])
+        out = np.empty((part.part_of.shape[0], arena.shape[-1]),
+                       arena.dtype)
+        for d, (a, b) in enumerate(self.assignments()):
+            for s, p in enumerate((a, b)):
+                m = part.members[p][part.valid[p]]
+                out[m] = arena[d, s, : m.size]
+        return out
+
+    def gather_entity_moments(self, state):
+        part = self.partition
+        out = []
+        for mom in state["arena_moms"]:
+            mom = np.asarray(mom)
+            o = np.zeros((part.part_of.shape[0], mom.shape[-1]), mom.dtype)
+            for d, (a, b) in enumerate(self.assignments()):
+                for s, p in enumerate((a, b)):
+                    m = part.members[p][part.valid[p]]
+                    o[m] = mom[d, s, : m.size]
+            out.append(o)
+        return tuple(out)

@@ -453,7 +453,16 @@ class GraphSolver(SolverBase):
         num_edge = self.graph.num_edge
         self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
         walks = int(augmentation_step) > 1
+        # cap the episode length so the ring completes many full sweeps:
+        # one long residency per block trains it in a single burst that the
+        # later episodes then overwrite (catastrophic interference). The
+        # reference's small auto episode_size has the same effect
+        # (solver.h:426-436).
+        import os as _os2
+        min_sweeps = int(_os2.environ.get("GRAPHVITE_MIN_SWEEPS", 16))
+        sweep_cap = max(self.num_batch // (P_ * P_ * min_sweeps), 1)
         ep_batches = max(min(8 if walks else self._episode_batches(),
+                             sweep_cap,
                              max(self.num_batch // P_, 1)), 1)
 
         key = (id(self.graph), "mesh", model_name, self.optimizer,
@@ -725,6 +734,11 @@ class KnowledgeGraphSolver(SolverBase):
 
         mdl = KG_MODELS[model]
         margin_or_l3 = self.margin if mdl.uses_margin else self.l3_regularization
+        if self.num_worker > 1:
+            self._train_loop_mesh_kg(model, num_epoch, margin_or_l3,
+                                     float(relation_lr_multiplier),
+                                     log_frequency)
+            return
         step_fn = _steps.make_kg_train_step(
             mdl, self.optimizer, self.num_negative, margin_or_l3,
             self.adversarial_temperature, float(relation_lr_multiplier))
@@ -744,6 +758,89 @@ class KnowledgeGraphSolver(SolverBase):
                               with_relation=True)
         self._train_loop(step_fn, sampler, True, (), num_epoch,
                          positive_reuse, log_frequency)
+
+    def _train_loop_mesh_kg(self, model_name, num_epoch, margin_or_l3,
+                            relation_lr_multiplier, log_frequency):
+        """Tied-weights sharded entity tables over the mesh: 2W partitions,
+        tournament rotation, relations replicated with psum-delta merge
+        (parallel/kg.py ShardedKGTrainer). Entity tables W x larger than one
+        device's HBM become trainable — the reference's core scale story
+        (knowledge_graph.cuh:531-533)."""
+        from graphvite_tpu.parallel.kg import ShardedKGTrainer
+        from graphvite_tpu.parallel.mesh import VertexPartition, make_mesh
+
+        W = self.num_worker
+        import os as _os
+        live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
+        budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
+        mem_cap = max(int(budget / max(live_bytes, 1)), 512)
+        tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
+        rows_per_dev = max(2 * self.graph.num_vertex // (2 * W), 1)
+        touch_cap = max(int(tau * rows_per_dev / (self.num_negative + 2)), 64)
+        batch_size = min(self.batch_size, mem_cap, touch_cap)
+        if batch_size < self.batch_size:
+            logger.info("batch_size %d -> %d per device (mesh of %d)",
+                        self.batch_size, batch_size, W)
+        self.effective_batch = batch_size
+        num_edge = self.graph.num_edge
+        self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
+        # many full tournament sweeps (see _train_loop_mesh): every block
+        # must be revisited often or its burst gets overwritten
+        min_sweeps = int(_os.environ.get("GRAPHVITE_MIN_SWEEPS", 16))
+        sweep_cap = max(self.num_batch // (W * (2 * W - 1) * min_sweeps), 1)
+        ep_batches = max(min(self._episode_batches(), sweep_cap,
+                             max(self.num_batch // W, 1)), 1)
+
+        key = (id(self.graph), "kgmesh", model_name, self.optimizer,
+               self.num_negative, float(margin_or_l3),
+               self.adversarial_temperature, float(relation_lr_multiplier),
+               W, batch_size, ep_batches)
+        if getattr(self, "_kgmesh_key", None) != key:
+            part = VertexPartition(np.asarray(self.graph.degrees), 2 * W)
+            mesh = make_mesh(W)
+            trainer = ShardedKGTrainer(
+                mesh, part, self.dim, KG_MODELS[model_name], self.optimizer,
+                num_negative=self.num_negative, margin_or_l3=margin_or_l3,
+                adversarial_temperature=self.adversarial_temperature,
+                relation_lr_multiplier=relation_lr_multiplier,
+                batch_size=batch_size, ep_batches=ep_batches)
+            self._kgmesh_trainer = trainer
+            self._kgmesh_triplets = trainer.init_triplets(self.graph)
+            self._kgmesh_key = key
+        trainer = self._kgmesh_trainer
+        trainer.reset_schedule()
+        state = trainer.init_state(np.asarray(self.state["tables"][0]),
+                                   np.asarray(self.state["tables"][1]))
+        logger.info("training %s on %d devices (2x%d entity partitions): "
+                    "%d batches of %d (episodes of %d)", model_name, W,
+                    2 * W, self.num_batch, batch_size, ep_batches)
+        next_log = log_frequency
+        losses_acc = []
+        while self.batch_id < self.num_batch:
+            state, losses = trainer.run_episode(
+                state, self._kgmesh_triplets, self.batch_id, self.num_batch,
+                self.seed)
+            self.batch_id += ep_batches * W
+            losses_acc.append(np.asarray(losses).reshape(-1))
+            if self.batch_id >= next_log or self.batch_id >= self.num_batch:
+                l = np.concatenate(losses_acc)
+                logger.info("Batch id: %d / %d, loss = %.6g",
+                            min(self.batch_id, self.num_batch),
+                            self.num_batch, float(l.mean()))
+                losses_acc = []
+                next_log = self.batch_id + log_frequency
+        ent = trainer.gather_entities(state)
+        rel = np.asarray(state["rel"])
+        e_moms = trainer.gather_entity_moments(state)
+        # per-device relation moment caches -> canonical mean (the
+        # reference keeps them per-GPU and never merges; the mean is the
+        # natural single-table summary for checkpointing)
+        r_moms = tuple(np.asarray(m).mean(axis=0) for m in state["rel_moms"])
+        self.state = {
+            "tables": (jnp.asarray(ent), jnp.asarray(rel)),
+            "moments": (tuple(jnp.asarray(m) for m in e_moms),
+                        tuple(jnp.asarray(m) for m in r_moms)),
+        }
 
     def predict(self, samples):
         """samples: (n, 3) array of (head, tail, relation) ids -> logits."""

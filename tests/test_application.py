@@ -181,3 +181,49 @@ def test_math_fixture_quality():
     m = ev.ranking_metrics(rk)
     assert m["MRR"] > 0.35, m
     assert m["HITS@10"] > 0.55, m
+
+
+@pytest.mark.parametrize("model", ["RotatE", "DistMult"])
+def test_streaming_filtered_rankings_match_dense(model):
+    """The streaming rank kernel must reproduce the dense [n, V] reference
+    computation exactly (modulo MXU-vs-VPU tie rounding, handled by
+    consistent truth scoring)."""
+    from collections import defaultdict
+    from graphvite_tpu.application import evaluate as ev
+
+    rng = np.random.default_rng(0)
+    V, R_n, D, n = 300, 6, 16, 64
+    ent = rng.standard_normal((V, D)).astype(np.float32)
+    rel = rng.standard_normal((R_n, D)).astype(np.float32)
+    H = rng.integers(V, size=n)
+    R = rng.integers(R_n, size=n)
+    T = rng.integers(V, size=n)
+    exclude_H = defaultdict(set)
+    exclude_T = defaultdict(set)
+    for _ in range(400):
+        h, r, t = rng.integers(V), rng.integers(R_n), rng.integers(V)
+        exclude_H[(t, r)].add(h)
+        exclude_T[(h, r)].add(t)
+
+    got = ev.filtered_rankings(model, ent, rel, H, R, T, exclude_H,
+                               exclude_T, 4.0, "both")
+
+    # dense reference
+    want = []
+    for side in ("head", "tail"):
+        scores = ev.kg_score_all(model, ent, rel, H, R, T, side, 4.0)
+        positives = H if side == "head" else T
+        exclude = exclude_H if side == "head" else exclude_T
+        for i in range(n):
+            key = ((T[i], R[i]) if side == "head" else (H[i], R[i]))
+            mask = np.ones(V, dtype=bool)
+            excl = exclude.get(key)
+            if excl:
+                mask[list(excl)] = False
+            mask[positives[i]] = True
+            truth = scores[i, positives[i]]
+            want.append(((scores[i] >= truth) & mask).sum())
+    want = np.asarray(want, np.float64)
+    # ranks must agree everywhere except possible +-1 MXU/VPU tie flips
+    assert np.mean(np.abs(got - want) <= 1) > 0.99
+    assert np.mean(got == want) > 0.9

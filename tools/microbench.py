@@ -75,15 +75,23 @@ def make_state(key):
             "moments": ((), ())}
 
 
+def _force(state):
+    """Force completion with a 1-element readback (a full-table np.asarray
+    would drag 512MB through the ~25MB/s tunnel and dominate the timing)."""
+    leaf = jax.tree_util.tree_leaves(state)[0]
+    probe = leaf.reshape(-1)[:1]
+    float(np.asarray(probe)[0])
+
+
 def chain_time(fn, state, args, n_warm=2, n_time=5):
     """fn(state, i, *args) -> state_like; chained with donation."""
     for i in range(n_warm):
         state = fn(state, jnp.int32(i), *args)
-    float(np.asarray(jax.tree_util.tree_leaves(state)[0]).ravel()[0])
+    _force(state)
     t0 = time.time()
     for i in range(n_time):
         state = fn(state, jnp.int32(i), *args)
-    float(np.asarray(jax.tree_util.tree_leaves(state)[0]).ravel()[0])
+    _force(state)
     dt = (time.time() - t0) / n_time
     return dt, state
 
@@ -374,6 +382,85 @@ VARIANTS = {
     "scatter_invert": v_scatter_invert,
     "baseline_bf16": v_baseline_bf16,
 }
+
+
+
+
+# -- round 3: access-pattern characterization -------------------------------
+
+def v_hbm_copy():
+    """True HBM bandwidth: y = x * c + y (not constant-foldable)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (V, D), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def axpy(y, i, x):
+        return y + x * (1.0 + 1e-6 * i)
+
+    y = jnp.zeros((V, D), jnp.float32)
+    dt, _ = chain_time(axpy, y, (x,), n_warm=2, n_time=8)
+    print(json.dumps({"variant": "hbm_axpy",
+                      "GBps": round(3 * V * D * 4 / dt / 1e9, 1)}), flush=True)
+
+
+def _gather_bench(name, rows, width, n_idx):
+    table = jax.random.normal(jax.random.PRNGKey(0), (rows, width),
+                              jnp.float32)
+
+    def body(st, key, table):
+        ids = jax.random.randint(key, (n_idx,), 0, rows)
+        g = table[ids]
+        return {"acc": st["acc"] + jnp.sum(g[:, 0])}, 0.0
+
+    run = _scan_runner(body)
+    dt, _ = chain_time(run, {"acc": jnp.float32(0)}, (table,))
+    ms = dt / EP * 1e3
+    print(json.dumps({"variant": name, "ms": round(ms, 3),
+                      "ns_per_row": round(ms * 1e6 / n_idx, 2),
+                      "GBps": round(n_idx * width * 4 / (ms / 1e3) / 1e9, 1)}),
+          flush=True)
+
+
+def v_gather_shapes():
+    _gather_bench("gather_512B_rows", V, 128, 325_520)
+    _gather_bench("gather_1KB_rows", V // 2, 256, 325_520)
+    _gather_bench("gather_128B_rows", V, 32, 325_520)
+    _gather_bench("gather_512B_2x_count", V, 128, 651_040)
+
+
+def _scatter_bench(name, rows, n_idx, sorted_ids=False):
+    def body(st, key, _unused):
+        (table,) = st["tables"]
+        ids = jax.random.randint(key, (n_idx,), 0, rows)
+        g = jnp.full((n_idx, D), 1e-6, jnp.float32)
+        if sorted_ids:
+            ids = jnp.sort(ids)
+            table = table.at[ids].add(g, indices_are_sorted=True)
+        else:
+            table = table.at[ids].add(g)
+        return {"tables": (table,)}, 0.0
+
+    run = _scan_runner(body)
+    table = jnp.zeros((rows, D), jnp.float32)
+    dt, _ = chain_time(run, {"tables": (table,)}, (jnp.int32(0),))
+    ms = dt / EP * 1e3
+    print(json.dumps({"variant": name, "ms": round(ms, 3),
+                      "ns_per_row": round(ms * 1e6 / n_idx, 2)}), flush=True)
+
+
+def v_scatter_scaling():
+    N = 325_520
+    _scatter_bench("scatter_V1M", V, N)
+    _scatter_bench("scatter_V250k", V // 4, N)
+    _scatter_bench("scatter_V4M", 4 * V, N)
+    _scatter_bench("scatter_V1M_presorted", V, N, sorted_ids=True)
+    _scatter_bench("scatter_V1M_2x_updates", V, 2 * N)
+
+
+VARIANTS.update({
+    "hbm_copy": v_hbm_copy,
+    "gather_shapes": v_gather_shapes,
+    "scatter_scaling": v_scatter_scaling,
+})
 
 
 if __name__ == "__main__":
