@@ -468,20 +468,50 @@ class VisualizationApplication(ApplicationMixin):
 
     def hierarchy(self, HY=None, file_name=None, target=None, save_file=None,
                   figure_size=10, scale=2, duration=3):
-        """Animated zoom over a label hierarchy (ref application.py:1189-1255):
-        one frame per hierarchy level, nodes colored by their label at that
-        level, non-descendants of `target` grayed out. `file_name`: text file
-        with one whitespace-separated label path per vertex."""
+        """Animated zoom over a label hierarchy (ref application.py:1189-1255
+        + render_hierarchy :1317-1343): find the first vertex whose label at
+        some level equals `target`; emit one frame per level down to that
+        depth, coloring by the next level's labels with every vertex OUTSIDE
+        the target's current branch grayed out as "else". `file_name`: text
+        file with one whitespace-separated label path per vertex."""
         if file_name is not None and HY is None:
             with open(file_name) as f:
                 HY = [line.split() for line in f if line.split()]
             width = max(len(r) for r in HY)
             HY = [r + [r[-1]] * (width - len(r)) for r in HY]
         HY = np.asarray(HY)
+        if HY.dtype.kind == "U" and HY.dtype.itemsize < 4 * len("else"):
+            # the fixed-width string dtype must be able to hold "else"
+            # (ref application.py:1225-1227)
+            HY = HY.astype("U4") if HY.dtype < np.dtype("U4") else HY
         coords = self.solver.coordinates
-        frames = []
-        for level in range(HY.shape[1]):
-            frames.append((coords, HY[:, level]))
+        # 5-sigma outlier removal (ref application.py:1229-1234)
+        mean = coords.mean(axis=0)
+        std = coords.std(axis=0)
+        inside = np.all(np.abs(coords - mean) < 5 * std, axis=1)
+        coords = coords[inside]
+        HY = HY[inside]
+
+        if target is not None:
+            sample = depth = None
+            for level in range(HY.shape[1]):
+                idx = np.nonzero(HY[:, level] == str(target))[0]
+                if idx.size:
+                    sample, depth = int(idx[0]), level
+                    break
+            if sample is None:
+                raise ValueError("can't find target `%s` in the hierarchy"
+                                 % target)
+            frames = []
+            for i in range(depth + 1):
+                y = HY[:, i].copy()
+                if i > 0:
+                    # gray out everything outside the target's branch
+                    y[HY[:, i - 1] != HY[sample, i - 1]] = "else"
+                frames.append((coords, y, y[sample]))
+        else:
+            frames = [(coords, HY[:, level], None)
+                      for level in range(HY.shape[1])]
         if save_file is None:
             return frames
         try:
@@ -497,13 +527,22 @@ class VisualizationApplication(ApplicationMixin):
 
         def draw(level):
             ax.clear()
-            y = HY[:, level]
-            for c in np.unique(y):
+            c_fr, y, focus = frames[level]
+            classes = sorted(set(y))
+            if focus is not None:
+                # focus class first, "else" in light grey at the back
+                classes = ([focus] + [c for c in classes
+                                      if c not in (focus, "else")]
+                           + (["else"] if "else" in classes else []))
+            for z, c in enumerate(classes):
                 m = y == c
-                ax.scatter(coords[m, 0], coords[m, 1], s=scale, label=str(c))
+                ax.scatter(c_fr[m, 0], c_fr[m, 1], s=scale,
+                           c="lightgrey" if c == "else" else None,
+                           zorder=-z, label=str(c))
             ax.set_xticks([])
             ax.set_yticks([])
-        anim = animation.FuncAnimation(fig, draw, frames=HY.shape[1],
+            ax.legend(markerscale=6, loc="upper right")
+        anim = animation.FuncAnimation(fig, draw, frames=len(frames),
                                        interval=duration * 1000)
         anim.save(save_file, writer="pillow")
         plt.close(fig)
@@ -531,13 +570,25 @@ class VisualizationApplication(ApplicationMixin):
             Y = np.zeros(len(coords), dtype=int)
         Y = np.asarray(Y)
 
+        # 5-sigma outlier removal (ref application.py:1300-1305)
+        mean = coords.mean(axis=0)
+        std = coords.std(axis=0)
+        inside = np.all(np.abs(coords - mean) < 5 * std, axis=1)
+        coords = coords[inside]
+        Y = Y[inside]
+        # draw the class scatters once; rotate the view per frame (the
+        # reference renders all `num_frame` frames — default 700 — in a
+        # process pool; a view-angle update makes that cheap in-process)
+        for c in np.unique(Y):
+            m = Y == c
+            ax.scatter(coords[m, 0], coords[m, 1], coords[m, 2], s=scale)
+        ax.set_xticks([]); ax.set_yticks([]); ax.set_zticks([])
+
         def draw(frame):
-            ax.clear()
-            for c in np.unique(Y):
-                m = Y == c
-                ax.scatter(coords[m, 0], coords[m, 1], coords[m, 2], s=scale)
             ax.view_init(elev=elevation, azim=frame * 360.0 / num_frame)
-        anim = mpl_anim.FuncAnimation(fig, draw, frames=min(num_frame, 36))
+            return ()
+        anim = mpl_anim.FuncAnimation(fig, draw, frames=num_frame,
+                                      interval=70000.0 / num_frame)
         anim.save(save_file, writer="pillow")
         plt.close(fig)
         return coords

@@ -237,6 +237,40 @@ def dedup_rows(ids, grads, entry_counts=None, entry_sqs=None):
     return uids, gsum, counts, gsq
 
 
+# tables up to this many elements use the dense accumulate path for moment
+# optimizers: 3 scatter-adds + a dense moment pass beat the sort-based dedup
+# chain, whose argsort + row-permute + segment-sums price narrow rows
+# (LargeVis dim 2-8) at ~30ms/batch on v5e
+DENSE_UPDATE_ELEMS = 1 << 24
+
+
+def _apply_row_updates_dense(table, moments, ids, reg_grads, opt: Optimizer,
+                             lr, lr_scale, entry_counts, entry_sqs):
+    """Accumulate gsum/gsq/counts densely over the whole table, then apply
+    ONE vectorized moment update on touched rows. No sort, no permute —
+    the [V, D] passes are trivial for small tables, and scatter-adds are
+    update-count-bound."""
+    v = table.shape[0]
+    f32 = jnp.float32
+    g32 = reg_grads.astype(f32)
+    gsum = jnp.zeros(table.shape, f32).at[ids].add(g32, mode="drop")
+    sq = g32 * g32 if entry_sqs is None else entry_sqs.astype(f32)
+    gsq = jnp.zeros(table.shape, f32).at[ids].add(sq, mode="drop")
+    cnt = (jnp.ones(ids.shape, f32) if entry_counts is None
+           else entry_counts.astype(f32))
+    counts = jnp.zeros((v,), f32).at[ids].add(cnt, mode="drop")
+    touched = counts > 0
+    c = jnp.maximum(counts, 1.0)[:, None]
+    delta, new_moments = moment_delta(opt, lr, gsum, moments, c, gsq)
+    new_table = jnp.where(touched[:, None],
+                          table - (lr_scale * delta).astype(table.dtype),
+                          table)
+    out_moments = tuple(
+        jnp.where(touched[:, None], nm.astype(m.dtype), m)
+        for m, nm in zip(moments, new_moments))
+    return new_table, out_moments
+
+
 def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
                       lr_scale=1.0, entry_counts=None, entry_sqs=None):
     """Apply optimizer updates for per-touch regularized gradients.
@@ -259,6 +293,11 @@ def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
         delta = (lr * lr_scale) * reg_grads
         return (table.at[ids].add(-delta.astype(table.dtype), mode="drop"),
                 moments)
+
+    if table.shape[0] * table.shape[1] <= DENSE_UPDATE_ELEMS:
+        return _apply_row_updates_dense(table, moments, ids, reg_grads, opt,
+                                        lr, lr_scale, entry_counts,
+                                        entry_sqs)
 
     uids, gsum, counts, gsq = dedup_rows(ids, reg_grads, entry_counts,
                                          entry_sqs)

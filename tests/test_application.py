@@ -227,3 +227,49 @@ def test_streaming_filtered_rankings_match_dense(model):
     # ranks must agree everywhere except possible +-1 MXU/VPU tie flips
     assert np.mean(np.abs(got - want) <= 1) > 0.99
     assert np.mean(got == want) > 0.9
+
+
+def test_hierarchy_target_grayout_and_animation(tmp_path):
+    from graphvite_tpu.application import VisualizationApplication
+
+    rng = np.random.default_rng(0)
+    n = 60
+    vectors = np.concatenate([rng.normal(0, 1, (n // 2, 8)),
+                              rng.normal(4, 1, (n // 2, 8))])
+    app = VisualizationApplication(dim=2)
+    app.load(vectors=vectors, perplexity=5, num_neighbor=10)
+    app.build(batch_size=256, episode_size=2)
+    app.train(num_epoch=3, log_frequency=10**9)
+
+    # two-level hierarchy: root split A/B, then A -> a1/a2, B -> b1/b2
+    HY = []
+    for i in range(n):
+        top = "A" if i < n // 2 else "B"
+        sub = ("a1" if i % 2 else "a2") if top == "A" else \
+              ("b1" if i % 2 else "b2")
+        HY.append([top, sub])
+    frames = app.hierarchy(HY=HY, target="a1")
+    # target found at level 1 -> frames for level 0 and level 1
+    assert len(frames) == 2
+    coords0, y0, focus0 = frames[0]
+    assert focus0 == "A" and set(y0) == {"A", "B"}
+    coords1, y1, focus1 = frames[1]
+    assert focus1 == "a1"
+    # level-1 frame: every B vertex is grayed out as "else"
+    assert set(y1) == {"a1", "a2", "else"}
+    assert (y1 == "else").sum() == (np.asarray(y0) == "B").sum()
+
+    with pytest.raises(ValueError):
+        app.hierarchy(HY=HY, target="nope")
+
+    # 3D animation renders the requested number of frames
+    app3 = VisualizationApplication(dim=3)
+    app3.load(vectors=vectors, perplexity=5, num_neighbor=10)
+    app3.build(batch_size=256, episode_size=2)
+    app3.train(num_epoch=3, log_frequency=10**9)
+    gif = str(tmp_path / "anim.gif")
+    app3.animation(Y=["c%d" % (i % 2) for i in range(n)], save_file=gif,
+                   num_frame=5)
+    from PIL import Image
+    with Image.open(gif) as im:
+        assert getattr(im, "n_frames", 1) == 5

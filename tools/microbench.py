@@ -463,6 +463,72 @@ VARIANTS.update({
 })
 
 
+def v_blocked_scatter():
+    """Does a [P, cap, D] arena with per-batch dynamic block indexing beat a
+    flat scatter at V=4M? (The ops/blocked.py keep-or-delete measurement:
+    in-place DUS => scatter cost drops to the block size.)"""
+    N = 325_520
+    V4 = 4 * V
+    for P_ in (8, 32):
+        cap = V4 // P_
+
+        def body(st, key, _unused):
+            arena = st["arena"]
+            kb, ki = jax.random.split(key)
+            blk = jax.random.randint(kb, (), 0, P_)
+            ids = jax.random.randint(ki, (N,), 0, cap)
+            g = jnp.full((N, D), 1e-6, jnp.float32)
+            block = jax.lax.dynamic_index_in_dim(arena, blk, 0,
+                                                 keepdims=False)
+            block = block.at[ids].add(g)
+            arena = jax.lax.dynamic_update_index_in_dim(arena, block, blk, 0)
+            return {"arena": arena}, 0.0
+
+        run = _scan_runner(body)
+        arena = jnp.zeros((P_, cap, D), jnp.float32)
+        dt, _ = chain_time(run, {"arena": arena}, (jnp.int32(0),))
+        ms = dt / EP * 1e3
+        print(json.dumps({"variant": "blocked_scatter_V4M_P%d" % P_,
+                          "ms": round(ms, 3),
+                          "ns_per_row": round(ms * 1e6 / N, 2)}), flush=True)
+
+
+def v_rng_cost():
+    """threefry vs rbg generator cost inside the sampling path."""
+    h, t, nprob, nalias = edges()
+    ht = jnp.stack([h, t], axis=1)
+    pa = jnp.stack([nprob, nalias.astype(jnp.float32)], axis=1)
+
+    def body(st, key, ht, pa):
+        ks, kt = jax.random.split(key)
+        eid = jax.random.randint(ks, (B,), 0, ht.shape[0])
+        pair = ht[eid]
+        k1, k2 = jax.random.split(kt)
+        u1 = jax.random.uniform(k1, (B, K))
+        u2 = jax.random.uniform(k2, (B, K))
+        n = pa.shape[0]
+        idx = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
+        par = pa[idx]
+        negs = jnp.where(u2 < par[..., 0], idx, par[..., 1].astype(jnp.int32))
+        acc = (jnp.sum(pair) + jnp.sum(negs)).astype(jnp.float32)
+        return {"acc": st["acc"] + acc}, 0.0
+
+    import jax as _jax
+    for impl in ("threefry2x32", "rbg"):
+        with _jax.default_prng_impl(impl):
+            def run_body(st, key, ht, pa):
+                return body(st, key, ht, pa)
+            run = _scan_runner(run_body)
+            dt, _ = chain_time(run, {"acc": jnp.float32(0)}, (ht, pa))
+            report("sample_packed_%s" % impl, dt)
+
+
+VARIANTS.update({
+    "blocked_scatter": v_blocked_scatter,
+    "rng_cost": v_rng_cost,
+})
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     for name in names:

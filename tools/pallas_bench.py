@@ -1,0 +1,392 @@
+"""Pallas random-row-access experiments (run on the real TPU).
+
+The fused LINE step is random-row-access bound: XLA's gather costs
+~11.5 ns/row and scatter ~13.8 ns/update + a ~1.6 ns/row full-table pass
+(tools/microbench.py, PERF.md). These experiments ask whether hand-rolled
+Pallas DMA pipelines can beat those floors:
+
+  xla_gather       — baseline: jnp.take of N rows from [V, D]
+  pallas_gather    — per-row async DMA HBM->VMEM, S-deep pipeline
+  xla_scatter      — baseline: table.at[ids].add(g)
+  pallas_rmw       — per-row DMA in + VPU add + DMA out (unique ids)
+  pallas_sweep     — full-table tile sweep: auto-pipelined table tiles in
+                     VMEM + manual DMA of the tile's (sorted) update slab,
+                     scalar-loop scatter within VMEM
+
+Usage: python tools/pallas_bench.py [experiment ...]
+Prints one JSON line per experiment.
+"""
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+V = 1_000_000
+D = 128
+N = 325_520           # context-update count at the solver's effective batch
+EP = 10               # calls per timed chain
+
+
+def _force(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(np.asarray(leaf.reshape(-1)[:1])[0])
+
+
+def chain_time(fn, state, args, n_warm=2, n_time=5):
+    for i in range(n_warm):
+        state = fn(state, jnp.int32(i), *args)
+    _force(state)
+    t0 = time.time()
+    for i in range(n_time):
+        state = fn(state, jnp.int32(i + 7), *args)
+    _force(state)
+    return (time.time() - t0) / n_time, state
+
+
+def report(name, dt_call, n_rows=N, calls=EP):
+    ms = dt_call / calls * 1e3
+    print(json.dumps({"experiment": name, "ms": round(ms, 3),
+                      "ns_per_row": round(ms * 1e6 / n_rows, 2)}), flush=True)
+
+
+def table_like(key):
+    return jax.random.normal(key, (V, D), jnp.float32)
+
+
+# -- gathers ----------------------------------------------------------------
+
+def e_xla_gather():
+    table = table_like(jax.random.PRNGKey(0))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(acc, salt, table):
+        def body(a, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(3), salt * 131 + i)
+            ids = jax.random.randint(key, (N,), 0, V)
+            g = table[ids]
+            return a + jnp.sum(g[:, 0]), 0.0
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(EP, dtype=jnp.int32))
+        return acc
+
+    dt, _ = chain_time(run, jnp.float32(0), (table,))
+    report("xla_gather", dt)
+
+
+def make_pallas_gather(chunk=512, depth=16):
+    """Gather N rows from an HBM-resident table via per-row DMAs, `depth`
+    outstanding."""
+
+    def kernel(ids_ref, table_ref, out_ref, sem):
+        def get(i, slot):
+            return pltpu.make_async_copy(
+                table_ref.at[ids_ref[i, 0]], out_ref.at[i], sem.at[slot])
+
+        # prologue: fill the pipeline
+        for s in range(depth):
+            get(s, s).start()
+
+        def body(i, _):
+            get(i, i % depth).wait()
+
+            @pl.when(i + depth < chunk)
+            def _():
+                get(i + depth, (i + depth) % depth).start()
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    grid_spec = pl.GridSpec(
+        grid=(N // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((chunk, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def gather(table, ids):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((N, D), table.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+        )(ids.reshape(N, 1), table)
+
+    return gather
+
+
+def e_pallas_gather():
+    table = table_like(jax.random.PRNGKey(0))
+    for chunk, depth in ((512, 8), (512, 16), (1024, 32)):
+        gather = make_pallas_gather(chunk, depth)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(acc, salt, table):
+            def body(a, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(3),
+                                         salt * 131 + i)
+                ids = jax.random.randint(key, (N,), 0, V)
+                g = gather(table, ids)
+                return a + jnp.sum(g[:, 0]), 0.0
+            acc, _ = jax.lax.scan(body, acc, jnp.arange(EP, dtype=jnp.int32))
+            return acc
+
+        try:
+            dt, _ = chain_time(run, jnp.float32(0), (table,))
+            report("pallas_gather_c%d_d%d" % (chunk, depth), dt)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(json.dumps({"experiment": "pallas_gather_c%d_d%d"
+                              % (chunk, depth),
+                              "error": repr(e)[:200]}), flush=True)
+
+
+# -- scatters ---------------------------------------------------------------
+
+def e_xla_scatter():
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(table, salt):
+        def body(t, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(3), salt * 131 + i)
+            ids = jax.random.randint(key, (N,), 0, V)
+            g = jnp.full((N, D), 1e-6, jnp.float32)
+            return t.at[ids].add(g), 0.0
+        table, _ = jax.lax.scan(body, table,
+                                jnp.arange(EP, dtype=jnp.int32))
+        return table
+
+    dt, _ = chain_time(run, jnp.zeros((V, D), jnp.float32), ())
+    report("xla_scatter", dt)
+
+
+def make_pallas_rmw(chunk=512, depth=8):
+    """Read-modify-write N unique rows: DMA row in, add update, DMA out.
+    ids must be unique within the call (collisions lose updates)."""
+
+    def kernel(ids_ref, upd_ref, table_ref, _out_ref, buf, in_sem, out_sem):
+        def rd(i, slot):
+            return pltpu.make_async_copy(
+                table_ref.at[ids_ref[i, 0]], buf.at[slot], in_sem.at[slot])
+
+        def wr(i, slot):
+            return pltpu.make_async_copy(
+                buf.at[slot], table_ref.at[ids_ref[i, 0]], out_sem.at[slot])
+
+        for s in range(depth):
+            rd(s, s).start()
+
+        def body(i, _):
+            slot = i % depth
+            rd(i, slot).wait()
+            # the previous write using this slot must have drained before
+            # we overwrite the buffer — handled because rd(i) reuses the
+            # slot only after wr(i - depth) completed (waited below)
+            buf[slot] = buf[slot] + upd_ref[i]
+
+            wr(i, slot).start()
+
+            @pl.when(i + depth < chunk)
+            def _():
+                wr(i, slot).wait()          # free the slot for the next read
+                rd(i + depth, slot).start()
+
+            @pl.when(i + depth >= chunk)
+            def _():
+                wr(i, slot).wait()
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    grid_spec = pl.GridSpec(
+        grid=(N // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+    )
+
+    def rmw(table, ids, upd):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((V, D), table.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((depth, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+            input_output_aliases={2: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(ids.reshape(N, 1), upd, table)
+
+    return rmw
+
+
+def e_pallas_rmw():
+    # unique ids: a random permutation slice (spacing V // N apart)
+    for chunk, depth in ((512, 8), (1024, 16)):
+        rmw = make_pallas_rmw(chunk, depth)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(table, salt):
+            def body(t, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(3),
+                                         salt * 131 + i)
+                # unique-by-construction: id[j] = j * 3 + small jitter,
+                # mod V (stride 3 > jitter range)
+                base = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+                jit_ = jax.random.randint(key, (N,), 0, 3)
+                ids = (base * 3 + jit_) % V
+                upd = jnp.full((N, D), 1e-6, jnp.float32)
+                return rmw(t, ids, upd), 0.0
+            table, _ = jax.lax.scan(body, table,
+                                    jnp.arange(EP, dtype=jnp.int32))
+            return table
+
+        try:
+            dt, _ = chain_time(run, jnp.zeros((V, D), jnp.float32), ())
+            report("pallas_rmw_c%d_d%d" % (chunk, depth), dt)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"experiment": "pallas_rmw_c%d_d%d"
+                              % (chunk, depth),
+                              "error": repr(e)[:200]}), flush=True)
+
+
+# -- tile-sweep scatter ------------------------------------------------------
+
+def make_pallas_sweep(tile_rows=8192, cap=8192):
+    """Scatter-add sorted updates into the table by sweeping table tiles
+    through VMEM. Updates pre-sorted by id; per-tile [lo, cnt) ranges are
+    computed outside. The tile's update slab (cap rows) is DMA'd manually
+    with a dynamic start; a scalar loop applies rows < cnt."""
+    T = V // tile_rows
+
+    def kernel(lo_ref, cnt_ref, lid_ref, upd_ref, tile_ref, out_ref,
+               slab, lids, sem, sem2):
+        t = pl.program_id(0)
+        lo = lo_ref[t]
+        cnt = cnt_ref[t]
+        out_ref[:] = tile_ref[:]
+
+        @pl.when(cnt > 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                upd_ref.at[pl.ds(lo, cap), :], slab, sem)
+            cp.start()
+            cp2 = pltpu.make_async_copy(
+                lid_ref.at[pl.ds(lo, cap), :], lids, sem2)
+            cp2.start()
+            cp.wait()
+            cp2.wait()
+
+            def body(j, _):
+                row = lids[j, 0]
+                out_ref[pl.ds(row, 1), :] = (
+                    out_ref[pl.ds(row, 1), :] + slab[pl.ds(j, 1), :])
+                return 0
+
+            jax.lax.fori_loop(0, cnt, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,            # lo, cnt
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # local ids [Npad, 1]
+            pl.BlockSpec(memory_space=pltpu.ANY),    # sorted updates [Npad, D]
+            pl.BlockSpec((tile_rows, D), lambda *_: (pl.program_id(0)
+                                                     if False else 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, D), lambda s1, s2, i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cap, D), jnp.float32),
+            pltpu.VMEM((cap, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    # fix in_specs tile index map (same as out)
+    grid_spec.in_specs[2].index_map = lambda s1, s2, i: (i, 0)
+
+    def sweep(table, sorted_ids, sorted_upd):
+        npad = sorted_ids.shape[0]
+        tile_of = sorted_ids // tile_rows
+        lo = jnp.searchsorted(tile_of, jnp.arange(T, dtype=sorted_ids.dtype))
+        hi = jnp.searchsorted(tile_of,
+                              jnp.arange(1, T + 1, dtype=sorted_ids.dtype))
+        cnt = (hi - lo).astype(jnp.int32)
+        lid = (sorted_ids - tile_of * tile_rows).astype(jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((V, D), table.dtype),
+            input_output_aliases={4: 0},
+        )(lo.astype(jnp.int32), cnt, lid.reshape(npad, 1), sorted_upd,
+          table)
+
+    return sweep
+
+
+def e_pallas_sweep():
+    cap = 1 << 14          # max updates per 8192-row tile (mean ~2667)
+    sweep = make_pallas_sweep(8192, cap)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(table, salt):
+        def body(t, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(3), salt * 131 + i)
+            ids = jax.random.randint(key, (N,), 0, V)
+            g = jnp.full((N, D), 1e-6, jnp.float32)
+            order = jnp.argsort(ids)
+            pad = cap  # guarantee slab DMA stays in bounds at the tail
+            sid = jnp.concatenate([ids[order],
+                                   jnp.full((pad,), V - 1, ids.dtype)])
+            sg = jnp.concatenate([g[order], jnp.zeros((pad, D), g.dtype)])
+            return sweep(t, sid, sg), 0.0
+        table, _ = jax.lax.scan(body, table, jnp.arange(EP, dtype=jnp.int32))
+        return table
+
+    try:
+        dt, _ = chain_time(run, jnp.zeros((V, D), jnp.float32), ())
+        report("pallas_sweep_8192", dt)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"experiment": "pallas_sweep_8192",
+                          "error": repr(e)[:300]}), flush=True)
+
+
+EXPERIMENTS = {
+    "xla_gather": e_xla_gather,
+    "pallas_gather": e_pallas_gather,
+    "xla_scatter": e_xla_scatter,
+    "pallas_rmw": e_pallas_rmw,
+    "pallas_sweep": e_pallas_sweep,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(EXPERIMENTS)
+    for name in names:
+        t0 = time.time()
+        try:
+            EXPERIMENTS[name]()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"experiment": name, "error": repr(e)[:300]}),
+                  flush=True)
+        sys.stderr.write("%s done in %.0fs\n" % (name, time.time() - t0))
+        sys.stderr.flush()
