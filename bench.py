@@ -1,12 +1,18 @@
-"""Headline benchmark: LINE node-embedding training throughput on one chip.
+"""Headline benchmark: LINE node-embedding training throughput on one chip,
+plus the KG pillar (RotatE at FB15k scale) as extra keys on the same line.
 
-Mirrors the reference's north-star workload (Youtube LINE: dim 128,
-1 negative, 2000 epochs over 4.9M edges in 70.2s on 4xV100 ~= 3.5e7
-edge-samples/s per GPU; BASELINE.md "Derived throughput target").
+Mirrors the reference's north-star workloads:
+- Youtube LINE: dim 128, 1 negative, 2000 epochs over 4.9M edges in 70.2s
+  on 4xV100 ~= 3.5e7 edge-samples/s per GPU (BASELINE.md "Derived
+  throughput target").
+- FB15k RotatE: dim 2048, 64 negatives, 1000 epochs over 483k triplets in
+  28.1 min on 4xV100 ~= 7.2e4 triplet-samples/s per GPU (BASELINE.md:34,
+  config/knowledge_graph/rotate_fb15k.yaml hyperparameters).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is the ratio of this chip's edge-samples/s to the reference's
-per-GPU rate.
+per-GPU rate; kg_rotate_samples_per_s / kg_vs_baseline are the measured KG
+numbers (BENCH_KG=0 skips them).
 """
 import json
 import os
@@ -18,6 +24,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PER_GPU = 3.5e7  # edge-samples/s per V100 (BASELINE.md)
+# FB15k RotatE: 483,142 train triplets x 1000 epochs / 28.1 min / 4 GPUs
+KG_BASELINE_PER_GPU = 7.2e4  # triplet-samples/s per V100 (BASELINE.md:34)
 
 
 def synthetic_graph(num_vertex=1_000_000, num_edge=5_000_000, seed=0):
@@ -42,6 +50,55 @@ def synthetic_graph(num_vertex=1_000_000, num_edge=5_000_000, seed=0):
     g.edge_weights = np.ones(heads.size, dtype=np.float32)
     g._finalize(normalization=False)
     return g
+
+
+def synthetic_kg(num_entity=14_951, num_relation=1_345, num_triplet=483_142,
+                 seed=0):
+    """FB15k-shaped random KG (|E|=14951, |R|=1345, 483k train triplets)."""
+    rng = np.random.default_rng(seed)
+    h = (rng.random(num_triplet) ** 1.5 * num_entity).astype(np.int64)
+    t = (rng.random(num_triplet) ** 1.5 * num_entity).astype(np.int64)
+    r = (rng.random(num_triplet) ** 2.0 * num_relation).astype(np.int64)
+    from graphvite_tpu.graph import KnowledgeGraph
+    g = KnowledgeGraph()
+    g.num_vertex = num_entity
+    g.num_relation = num_relation
+    g.num_edge = num_triplet
+    g.id2entity = None  # anonymous; samplers only touch the arrays below
+    g.entity2id = None
+    g.id2relation = None
+    g.relation2id = None
+    g.edge_heads = h
+    g.edge_tails = t
+    g.edge_relations = r
+    g.edge_weights = np.ones(num_triplet, dtype=np.float32)
+    return g
+
+
+def bench_kg():
+    """RotatE at FB15k scale (rotate_fb15k.yaml hyperparameters: dim 2048,
+    64 negatives, Adam). Returns measured triplet-samples/s."""
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+
+    dim = int(os.environ.get("BENCH_KG_DIM", "2048"))
+    num_negative = int(os.environ.get("BENCH_KG_NEG", "64"))
+    num_epoch = int(os.environ.get("BENCH_KG_EPOCH", "8"))
+
+    g = synthetic_kg()
+    solver = KnowledgeGraphSolver(dim=dim)
+    solver.build(g, optimizer={"type": "Adam", "lr": 2.0e-4,
+                               "weight_decay": 0},
+                 num_negative=num_negative, batch_size=100000,
+                 episode_size=1)
+    # warmup (compile)
+    solver.train(model="RotatE", num_epoch=1, margin=24,
+                 adversarial_temperature=2, log_frequency=10**9)
+    start = time.time()
+    solver.train(model="RotatE", num_epoch=num_epoch, margin=24,
+                 adversarial_temperature=2, log_frequency=10**9)
+    elapsed = time.time() - start
+    samples = solver.num_batch * solver.effective_batch
+    return samples / elapsed, samples, elapsed
 
 
 def main():
@@ -72,12 +129,22 @@ def main():
     samples = solver.num_batch * solver.effective_batch
     rate = samples / elapsed
 
-    print(json.dumps({
+    result = {
         "metric": "line_edge_samples_per_s",
         "value": round(rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(rate / BASELINE_PER_GPU, 4),
-    }))
+    }
+    if os.environ.get("BENCH_KG", "1") != "0":
+        try:
+            kg_rate, kg_samples, kg_elapsed = bench_kg()
+            result["kg_rotate_samples_per_s"] = round(kg_rate, 1)
+            result["kg_vs_baseline"] = round(kg_rate / KG_BASELINE_PER_GPU, 4)
+            sys.stderr.write("kg: %d samples in %.1fs\n"
+                             % (kg_samples, kg_elapsed))
+        except Exception as e:  # noqa: BLE001 - LINE headline must survive
+            sys.stderr.write("kg bench failed: %r\n" % (e,))
+    print(json.dumps(result))
     sys.stderr.write("total wall %.1fs (train %.1fs, %d samples)\n"
                      % (time.time() - t0, elapsed, samples))
 

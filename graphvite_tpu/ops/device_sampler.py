@@ -50,15 +50,27 @@ class DeviceEdgeSampler:
     array so each sample costs a single row gather — scalar gathers run at
     ~11.5 ns/row on v5e regardless of row width, so packing halves the
     endpoint-gather cost. The alias (prob, alias) pair is likewise packed
-    into [E, 2] f32 when E < 2^24 (exact int32-in-f32 range). Unweighted
-    graphs skip the alias indirection entirely: eid = randint(E).
+    into [E, 2] f32 when E < 2^24 (exact int32-in-f32 range).
+
+    Unweighted graphs with enough edges use a STREAM instead: the edge
+    array is host-shuffled once into random [STREAM_CHUNK, 2|3] blocks and
+    each batch gathers B/STREAM_CHUNK random whole blocks — the reference's
+    pseudo-shuffle (include/core/solver.h pool refill order) reborn as
+    block-granular DMA. A block gather moves 8KB per access instead of
+    8 bytes, so the per-batch edge-draw cost drops from ~2-3 ms (B random
+    8-byte gathers at ~13 ns each, tools/microbench.py sample_packed) to
+    noise (pool_step_stream vs pool_step: 12.0 vs 15.3 ms/batch).
     """
 
-    edges: jax.Array         # [E, 2|3] i32 packed (head, tail[, rel])
+    STREAM_CHUNK = 1024
+    MIN_STREAM_BLOCKS = 64   # need enough blocks for batch diversity
+
+    edges: jax.Array         # [E, 2|3] i32, or [nblocks, C, 2|3] streamed
     alias_arrays: tuple      # () uniform | (packed,) | (prob, alias)
     num_edge: int
     uniform: bool
     with_rel: bool = False
+    streamed: bool = False
 
     @classmethod
     def build(cls, graph, with_relation=False):
@@ -75,12 +87,27 @@ class DeviceEdgeSampler:
                 np.asarray(graph.edge_tails, np.int32)]
         if with_relation:
             cols.append(np.asarray(graph.edge_relations, np.int32))
+        packed = np.stack(cols, axis=1)
+        n_edge = int(packed.shape[0])
+        C = cls.STREAM_CHUNK
+        streamed = uniform and n_edge >= C * cls.MIN_STREAM_BLOCKS
+        if streamed:
+            rng = np.random.default_rng(0x5eed ^ n_edge)
+            packed = packed[rng.permutation(n_edge)]
+            pad = (-n_edge) % C
+            if pad:
+                # pad with uniformly re-drawn edges; the ~C/E over-weight on
+                # the padded edges is negligible
+                packed = np.concatenate(
+                    [packed, packed[rng.integers(0, n_edge, pad)]])
+            packed = packed.reshape(-1, C, packed.shape[1])
         return cls(
-            edges=jnp.asarray(np.stack(cols, axis=1)),
+            edges=jnp.asarray(packed),
             alias_arrays=alias_arrays,
-            num_edge=int(graph.edge_heads.shape[0]),
+            num_edge=n_edge,
             uniform=uniform,
             with_rel=with_relation,
+            streamed=streamed,
         )
 
     def arrays(self):
@@ -89,18 +116,25 @@ class DeviceEdgeSampler:
     def make_sample_fn(self, batch_size: int):
         with_rel = self.with_rel
         uniform = self.uniform
+        streamed = self.streamed
         n_edge = self.num_edge
+        C = self.STREAM_CHUNK
 
         def sample(key, edges, *alias_arrays):
-            if uniform:
+            if streamed:
+                nb = -(-batch_size // C)
+                bid = jax.random.randint(key, (nb,), 0, edges.shape[0])
+                row = edges[bid].reshape(nb * C, -1)[:batch_size]
+            elif uniform:
                 eid = jax.random.randint(key, (batch_size,), 0, n_edge)
+                row = edges[eid]                 # one gather of [B, 2|3]
             else:
                 k1, k2 = jax.random.split(key)
                 u1 = jax.random.uniform(k1, (batch_size,))
                 u2 = jax.random.uniform(k2, (batch_size,))
                 from graphvite_tpu.ops.alias import device_sample
                 eid = device_sample(*alias_arrays, u1, u2)
-            row = edges[eid]                     # one gather of [B, 2|3]
+                row = edges[eid]
             h = row[:, 0]
             t = row[:, 1]
             mask = jnp.ones((batch_size,), jnp.float32)

@@ -128,6 +128,119 @@ def graph_predict(model, vertex, context, heads, tails):
     return model.score(vertex[heads], context[tails])
 
 
+def make_graph_pool_step(opt: Optimizer, num_negative: int,
+                         negative_weight: float, pool_size: int = 256,
+                         pool_groups: int = 8):
+    """Shared-negative-pool graph step (negative sharing).
+
+    Instead of K per-sample noise draws (gpu/graph.cuh:48-58 draws per
+    sample), each of `pool_groups` sample groups draws ONE pool of
+    `pool_size` noise rows and every sample in the group scores against the
+    whole pool, weighted `negative_weight * K / pool_size` per pool negative
+    so the expected negative gradient mass per sample matches the K-draw
+    step. All negative scoring/backward becomes MXU matmuls ([Bg, D] x
+    [D, M]), the per-sample alias draws disappear (M draws per group
+    instead of B*K), and negative row traffic drops from B*K rows to
+    G*M rows per batch — the structural fix for the scatter/gather-bound
+    LINE step (PERF.md trace). Grouping bounds the gradient mass any pool
+    row accumulates at one stale point to Bg * neg_w * sigma.
+
+    All graph models share score = <v, c> (models/graph.py), so scoring is
+    hardcoded as a matmul. Moment optimizers get exact per-touch counts and
+    squared-gradient sums (weight decay excluded from the squares;
+    second-order-small).
+    """
+    k = num_negative
+    M = int(pool_size)
+    G = int(pool_groups)
+    neg_w = float(negative_weight) * k / M
+
+    def step(state, heads, tails, key, lr, *neg_state, mask=None):
+        vertex, context = state["tables"]
+        v_moms, c_moms = state["moments"]
+        b = heads.shape[0]
+        assert b % G == 0, "batch must divide pool_groups"
+        bg = b // G
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (G, M))
+        u2 = jax.random.uniform(k2, (G, M))
+        pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
+
+        v = vertex[heads].reshape(G, bg, -1)                 # [G, Bg, D]
+        c = context[tails].reshape(G, bg, -1)
+        P = context[pool_ids]                                # [G, M, D]
+
+        pos_logit = jnp.sum(v * c, axis=-1)                  # [G, Bg]
+        neg_logits = jnp.einsum("gbd,gmd->gbm", v, P,
+                                preferred_element_type=jnp.float32)
+        gpos = jax.nn.sigmoid(pos_logit) - 1.0               # [G, Bg]
+        gneg = jax.nn.sigmoid(neg_logits) * neg_w            # [G, Bg, M]
+        if mask is not None:
+            m2 = mask.reshape(G, bg)
+            gpos = gpos * m2
+            gneg = gneg * m2[..., None]
+            n_active = jnp.sum(mask)
+        else:
+            m2 = None
+            n_active = jnp.float32(b)
+        # reported loss on the K-draw scale (match _logistic_terms norm)
+        loss_terms = (jax.nn.softplus(-pos_logit)
+                      + neg_w * jnp.sum(jax.nn.softplus(neg_logits), axis=-1))
+        if m2 is not None:
+            loss_terms = loss_terms * m2
+        mean_loss = (jnp.sum(loss_terms) / jnp.maximum(n_active, 1.0)
+                     / (1.0 + k * negative_weight))
+
+        wd = opt.weight_decay
+        # gradients (weights folded into gpos/gneg)
+        dv = (gpos[..., None] * c
+              + jnp.einsum("gbm,gmd->gbd", gneg, P,
+                           preferred_element_type=jnp.float32)
+              + wd * (1.0 + M * neg_w) * v)
+        dc = gpos[..., None] * v + wd * c
+        dP = (jnp.einsum("gbm,gbd->gmd", gneg, v,
+                         preferred_element_type=jnp.float32)
+              + wd * (neg_w * bg) * P)
+
+        v_counts = v_sqs = c_counts = c_sqs = None
+        if opt.num_moment > 0:
+            # per-touch semantics: v touched 1 + M times per sample, c once,
+            # each pool row once per group sample
+            v_counts = jnp.full((b,), M + 1, jnp.float32)
+            v_sqs = ((gpos[..., None] * c) ** 2
+                     + jnp.einsum("gbm,gmd->gbd", gneg ** 2, P ** 2,
+                                  preferred_element_type=jnp.float32)
+                     ).reshape(b, -1)
+            p_counts = jnp.full((G, M), float(bg), jnp.float32)
+            if m2 is not None:
+                p_counts = jnp.broadcast_to(
+                    jnp.sum(m2, axis=1)[:, None], (G, M))
+            c_counts = jnp.concatenate(
+                [jnp.ones((b,), jnp.float32), p_counts.reshape(-1)])
+            p_sqs = jnp.einsum("gbm,gbd->gmd", gneg ** 2, v ** 2,
+                               preferred_element_type=jnp.float32)
+            c_sqs = jnp.concatenate(
+                [(dc ** 2).reshape(b, -1), p_sqs.reshape(G * M, -1)])
+
+        new_vertex, new_v_moms = apply_row_updates(
+            vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
+            dv.reshape(b, -1), opt, lr,
+            entry_counts=v_counts, entry_sqs=v_sqs)
+        ctx_ids = jnp.concatenate(
+            [_mask_ids(tails, mask, context.shape[0]),
+             pool_ids.reshape(-1)])
+        ctx_grads = jnp.concatenate(
+            [dc.reshape(b, -1), dP.reshape(G * M, -1)])
+        new_context, new_c_moms = apply_row_updates(
+            context, c_moms, ctx_ids, ctx_grads, opt, lr,
+            entry_counts=c_counts, entry_sqs=c_sqs)
+        new_state = {"tables": (new_vertex, new_context),
+                     "moments": (new_v_moms, new_c_moms)}
+        return new_state, mean_loss
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # knowledge graph (tied entity table + global relation table;
 # ref gpu/knowledge_graph.cuh)
@@ -135,20 +248,34 @@ def graph_predict(model, vertex, context, heads, tails):
 
 def make_kg_train_step(model, opt: Optimizer, num_negative: int,
                        margin_or_l3: float, adversarial_temperature: float,
-                       relation_lr_multiplier: float):
+                       relation_lr_multiplier: float, external_pool=False):
     """state tables: (entity, relation). Negatives are uniform over
     2 * num_entity ids: id < V corrupts the head, else the tail
     (the split-id trick of gpu/knowledge_graph.cuh:65-69 applied to the
-    whole entity table instead of a partition pair)."""
+    whole entity table instead of a partition pair).
 
-    def step(state, heads, tails, rels, key, lr, mask=None, negatives=None):
+    With `external_pool=True` the step takes candidate ROWS from a
+    caller-owned negative pool instead of gathering them from the entity
+    table: signature becomes
+    `step(state, heads, tails, rels, key, lr, mask, pool_rows, pool_idx,
+    corrupt_head)` and it returns `(new_state, loss, cand_grad)` with
+    `cand_grad` the [B, K, D] per-draw regularized candidate gradients —
+    the caller scatters them into pool space and routes them back to the
+    rows' owner devices (the sharded trainer's global-pool negatives)."""
+
+    def step(state, heads, tails, rels, key, lr, mask=None, negatives=None,
+             pool=None):
         entity, relation = state["tables"]
         e_moms, r_moms = state["moments"]
         b = heads.shape[0]
         k = num_negative
         num_entity = entity.shape[0]
 
-        if negatives is None:
+        if external_pool:
+            pool_rows, pool_idx, corrupt_head = pool
+            cand_ids = None
+            cand = pool_rows[pool_idx]                       # [B, K, D]
+        elif negatives is None:
             neg_ids = jax.random.randint(key, (b, k), 0, 2 * num_entity)
             corrupt_head = neg_ids < num_entity
             cand_ids = jnp.where(corrupt_head, neg_ids,
@@ -165,7 +292,8 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         # the positive row (split-id trick, gpu/knowledge_graph.cuh:65-69)
         h_pos = entity[heads][:, None, :]                    # [B, 1, D]
         t_pos = entity[tails][:, None, :]
-        cand = entity[cand_ids]                              # [B, K, D]
+        if not external_pool:
+            cand = entity[cand_ids]                          # [B, K, D]
         ch = corrupt_head[..., None]
         h = jnp.concatenate([jnp.where(ch, cand, h_pos), h_pos], axis=1)
         t = jnp.concatenate([jnp.where(ch, t_pos, cand), t_pos], axis=1)
@@ -218,22 +346,27 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         tail_touch = reg_t[:, :k] * chf
         head_grad = reg_h[:, k] + jnp.sum(head_touch, axis=1)
         tail_grad = reg_t[:, k] + jnp.sum(tail_touch, axis=1)
-        ent_ids = jnp.concatenate(
-            [_mask_ids(heads, mask, num_entity),
-             _mask_ids(tails, mask, num_entity),
-             _mask_ids(cand_ids, mask, num_entity).reshape(-1)])
-        ent_grads = jnp.concatenate(
-            [head_grad, tail_grad, cand_grad.reshape(b * k, -1)])
+        pos_ids = [_mask_ids(heads, mask, num_entity),
+                   _mask_ids(tails, mask, num_entity)]
+        pos_grads = [head_grad, tail_grad]
+        if not external_pool:
+            pos_ids.append(_mask_ids(cand_ids, mask, num_entity).reshape(-1))
+            pos_grads.append(cand_grad.reshape(b * k, -1))
+        ent_ids = jnp.concatenate(pos_ids)
+        ent_grads = jnp.concatenate(pos_grads)
         ent_counts = ent_sqs = r_counts = r_sqs = None
         if opt.num_moment > 0:
             chn = corrupt_head.astype(jnp.float32)           # [B, K]
-            ent_counts = jnp.concatenate(
-                [1 + jnp.sum(1 - chn, axis=1), 1 + jnp.sum(chn, axis=1),
-                 jnp.ones((b * k,), jnp.float32)])
-            ent_sqs = jnp.concatenate(
-                [reg_h[:, k] ** 2 + jnp.sum(head_touch * head_touch, axis=1),
-                 reg_t[:, k] ** 2 + jnp.sum(tail_touch * tail_touch, axis=1),
-                 (cand_grad * cand_grad).reshape(b * k, -1)])
+            cnts = [1 + jnp.sum(1 - chn, axis=1), 1 + jnp.sum(chn, axis=1)]
+            sqs = [reg_h[:, k] ** 2 + jnp.sum(head_touch * head_touch,
+                                              axis=1),
+                   reg_t[:, k] ** 2 + jnp.sum(tail_touch * tail_touch,
+                                              axis=1)]
+            if not external_pool:
+                cnts.append(jnp.ones((b * k,), jnp.float32))
+                sqs.append((cand_grad * cand_grad).reshape(b * k, -1))
+            ent_counts = jnp.concatenate(cnts)
+            ent_sqs = jnp.concatenate(sqs)
             r_counts = jnp.full((b,), k + 1, jnp.float32)
             r_sqs = jnp.sum(per_touch_r * per_touch_r, axis=1)
         new_entity, new_e_moms = apply_row_updates(
@@ -249,6 +382,8 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
             mean_loss = jnp.mean(sample_loss)
         else:
             mean_loss = jnp.sum(sample_loss) / jnp.maximum(jnp.sum(mask), 1.0)
+        if external_pool:
+            return new_state, mean_loss, cand_grad
         return new_state, mean_loss
 
     return step

@@ -158,8 +158,10 @@ class ShardedKGTrainer:
                  adversarial_temperature: float = 2.0,
                  relation_lr_multiplier: float = 1.0,
                  batch_size: int = 2048, ep_batches: int = 8,
-                 axis: str = "p"):
+                 axis: str = "p", negative_pool: str = "global",
+                 pool_size: int = None):
         from graphvite_tpu.ops.steps import make_kg_train_step
+        from graphvite_tpu.optim import apply_row_updates
 
         self.mesh = mesh
         self.partition = partition          # VertexPartition over 2W parts
@@ -178,9 +180,23 @@ class ShardedKGTrainer:
         EP = self.ep_batches
         K = int(num_negative)
         P2 = 2 * W
+        # negative_pool="global": each device contributes Q uniform draws
+        # from its resident entities; the pool embeddings are all_gather'd
+        # so every sample corrupts against (nearly) the WHOLE entity set,
+        # matching single-chip semantics instead of the reference's
+        # resident-partitions-only corruption (knowledge_graph.cuh:316-319)
+        # which starves small/skewed graphs of negative diversity.
+        # Candidate gradients ride back to the rows' owners by a
+        # reduce_scatter over pool space — pure-ICI traffic.
+        self.negative_pool = negative_pool
+        if pool_size is None:
+            pool_size = max(256, min(4096, -(-B * K // W)))
+        Q = int(pool_size)
+        self.pool_size = Q
         step = make_kg_train_step(model, opt, K, margin_or_l3,
                                   adversarial_temperature,
-                                  relation_lr_multiplier)
+                                  relation_lr_multiplier,
+                                  external_pool=(negative_pool == "global"))
         sizes_np = np.bincount(partition.part_of, minlength=P2).astype(
             np.int32)
         self._sizes_np = sizes_np
@@ -237,6 +253,53 @@ class ShardedKGTrainer:
                 t_arena = st_ * cap + trip_t[idx]
                 rels = trip_r[idx]
                 mask = jnp.broadcast_to((total > 0).astype(jnp.float32), (B,))
+                if self.negative_pool == "global":
+                    # global pool: Q resident draws per device, embeddings
+                    # all_gather'd, split-id corruption over 2*W*Q pool ids
+                    kp, kn2 = jax.random.split(kn)
+                    up = jax.random.uniform(kp, (Q,))
+                    span_p = jnp.maximum(sz[0] + sz[1], 1)
+                    rp = jnp.minimum((up * span_p).astype(jnp.int32),
+                                     span_p - 1)
+                    slot_p = (rp >= sz[0]).astype(jnp.int32)
+                    pool_arena = slot_p * cap + (rp - slot_p * sz[0])  # [Q]
+                    ent_now = st["tables"][0]
+                    all_pool = jax.lax.all_gather(
+                        ent_now[pool_arena], axis, tiled=True)  # [W*Q, D]
+                    WQ = W * Q
+                    nid = jax.random.randint(kn2, (B, K), 0, 2 * WQ)
+                    ch = nid < WQ
+                    idx = jnp.where(ch, nid, nid - WQ)
+                    new_st, loss, cand_grad = step(
+                        st, h_arena, t_arena, rels, kt, lr, mask=mask,
+                        pool=(all_pool, idx, ch))
+                    # route candidate grads to the rows' owner devices
+                    fidx = idx.reshape(-1)
+                    g = cand_grad.reshape(B * K, -1)
+                    pool_g = jnp.zeros((WQ, g.shape[1]), g.dtype
+                                       ).at[fidx].add(g)
+                    act = jnp.broadcast_to(mask[:, None], (B, K)).reshape(-1)
+                    pool_cnt = jnp.zeros((WQ,), jnp.float32).at[fidx].add(act)
+                    my_g = jax.lax.psum_scatter(
+                        pool_g, axis, scatter_dimension=0, tiled=True)
+                    my_cnt = jax.lax.psum_scatter(
+                        pool_cnt, axis, scatter_dimension=0, tiled=True)
+                    my_sq = None
+                    if opt.num_moment > 0:
+                        pool_sq = jnp.zeros_like(pool_g).at[fidx].add(g * g)
+                        my_sq = jax.lax.psum_scatter(
+                            pool_sq, axis, scatter_dimension=0, tiled=True)
+                    ent2, rel2 = new_st["tables"]
+                    e_m2, r_m2 = new_st["moments"]
+                    # untouched pool rows route out of range (id 2*cap) so
+                    # the update drops them instead of decaying moments
+                    upd_ids = jnp.where(my_cnt > 0, pool_arena,
+                                        jnp.int32(2 * cap))
+                    ent3, e_m3 = apply_row_updates(
+                        ent2, e_m2, upd_ids, my_g, opt, lr,
+                        entry_counts=my_cnt, entry_sqs=my_sq)
+                    return {"tables": (ent3, rel2),
+                            "moments": (e_m3, r_m2)}, loss
                 # negatives: uniform over resident head+tail partition
                 # entities with split-id corruption (the candidate's own
                 # partition decides which side it replaces,

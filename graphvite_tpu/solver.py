@@ -253,7 +253,9 @@ class SolverBase:
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
                             / (self.num_negative + 2)), 512)
-        return min(self.batch_size, mem_cap, touch_cap)
+        # multiple of 8 so the shared-negative-pool step can split the
+        # batch into its pool groups
+        return max(min(self.batch_size, mem_cap, touch_cap) // 8 * 8, 8)
 
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
@@ -543,7 +545,8 @@ class GraphSolver(SolverBase):
               augmentation_step=auto, random_walk_length=40,
               random_walk_batch_size=100, shuffle_base=auto, p=1.0, q=1.0,
               positive_reuse=1, negative_sample_exponent=0.75,
-              negative_weight=5.0, log_frequency=1000):
+              negative_weight=5.0, negative_sharing=auto,
+              log_frequency=1000):
         if model not in self.get_available_models():
             raise ValueError("unknown model `%s`" % model)
         self.model = model
@@ -581,9 +584,21 @@ class GraphSolver(SolverBase):
         neg_table = AliasTable(weights)
         neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
 
-        step_fn = _steps.make_graph_train_step(
-            GRAPH_MODELS[model], self.optimizer, self.num_negative,
-            float(negative_weight))
+        # negative sharing (auto-on single chip): per-group shared noise
+        # pools scored by MXU matmuls replace K per-sample draws — same
+        # expected negative gradient mass per sample at a fraction of the
+        # row traffic (see make_graph_pool_step)
+        if negative_sharing in (auto, None):
+            import os as _os
+            negative_sharing = _os.environ.get(
+                "GRAPHVITE_NEG_SHARING", "1") != "0"
+        if negative_sharing:
+            step_fn = _steps.make_graph_pool_step(
+                self.optimizer, self.num_negative, float(negative_weight))
+        else:
+            step_fn = _steps.make_graph_train_step(
+                GRAPH_MODELS[model], self.optimizer, self.num_negative,
+                float(negative_weight))
         if self.sampler_backend == "device":
             num_partition = self.num_partition
             if num_partition in (auto, None):
@@ -613,7 +628,8 @@ class GraphSolver(SolverBase):
             cache_key = ("graph", model, self.optimizer, self.num_negative,
                          float(negative_weight), int(augmentation_step),
                          int(random_walk_length), float(p), float(q),
-                         float(negative_sample_exponent))
+                         float(negative_sample_exponent),
+                         bool(negative_sharing))
             self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
                                     positive_reuse, log_frequency, False,
                                     cache_key)
@@ -803,7 +819,9 @@ class KnowledgeGraphSolver(SolverBase):
                 num_negative=self.num_negative, margin_or_l3=margin_or_l3,
                 adversarial_temperature=self.adversarial_temperature,
                 relation_lr_multiplier=relation_lr_multiplier,
-                batch_size=batch_size, ep_batches=ep_batches)
+                batch_size=batch_size, ep_batches=ep_batches,
+                negative_pool=_os.environ.get("GRAPHVITE_KG_NEG_POOL",
+                                              "global"))
             self._kgmesh_trainer = trainer
             self._kgmesh_triplets = trainer.init_triplets(self.graph)
             self._kgmesh_key = key

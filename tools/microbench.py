@@ -62,7 +62,12 @@ def edges():
         deg = np.bincount(h, minlength=V).astype(np.float64)
         w = np.maximum(deg, 1e-12) ** 0.75
         neg = AliasTable(w)
-        nprob, nalias = device_alias_arrays(neg)
+        arrs = device_alias_arrays(neg)
+        if len(arrs) == 1:  # packed [n, 2] form (alias.py:146-151)
+            packed = np.asarray(arrs[0])
+            nprob, nalias = packed[:, 0], packed[:, 1].astype(np.int32)
+        else:
+            nprob, nalias = arrs
         _EDGES = (jnp.asarray(h), jnp.asarray(t),
                   jnp.asarray(nprob), jnp.asarray(nalias))
     return _EDGES
@@ -523,9 +528,143 @@ def v_rng_cost():
             report("sample_packed_%s" % impl, dt)
 
 
+def v_pool_step():
+    """Shared-negative-pool LINE step (make_graph_pool_step) at the solver's
+    effective batch: negatives via MXU matmuls against per-group pools."""
+    h, t, nprob, nalias = edges()
+    step = _steps.make_graph_pool_step(OPT, K, NEG_W)
+
+    def body(st, key, h, t, nprob, nalias):
+        ks, kt = jax.random.split(key)
+        heads, tails = sample_uniform(ks, h, t)
+        st, loss = step(st, heads, tails, kt, jnp.float32(0.02), nprob,
+                        nalias)
+        return st, loss
+
+    run = _scan_runner(body)
+    dt, _ = chain_time(run, make_state(jax.random.PRNGKey(0)),
+                       (h, t, nprob, nalias))
+    report("pool_step", dt)
+
+
+def v_pool_step_bf16():
+    h, t, nprob, nalias = edges()
+    step = _steps.make_graph_pool_step(OPT, K, NEG_W)
+
+    def body(st, key, h, t, nprob, nalias):
+        ks, kt = jax.random.split(key)
+        heads, tails = sample_uniform(ks, h, t)
+        st, loss = step(st, heads, tails, kt, jnp.float32(0.02), nprob,
+                        nalias)
+        return st, loss
+
+    run = _scan_runner(body)
+    st = make_state(jax.random.PRNGKey(0))
+    st = {"tables": tuple(x.astype(jnp.bfloat16) for x in st["tables"]),
+          "moments": ((), ())}
+    dt, _ = chain_time(run, st, (h, t, nprob, nalias))
+    report("pool_step_bf16", dt)
+
+
+def v_scatter_sorted_unique():
+    """scatter-add with pre-sorted UNIQUE ids (the post-dedup_rows shape):
+    both indices_are_sorted and unique_indices set."""
+    def body(st, key, _unused):
+        (context,) = st["tables"]
+        n = B * (K + 1)
+        # unique sorted by construction: stride-3 ids with jitter, sorted
+        base = jnp.arange(n, dtype=jnp.int32) * 3
+        jit_ = jax.random.randint(key, (n,), 0, 3)
+        sid = jnp.minimum(base + jit_, V - 1)
+        g = jnp.full((n, D), 1e-6, jnp.float32)
+        context = context.at[sid].add(g, indices_are_sorted=True,
+                                      unique_indices=True)
+        return {"tables": (context,)}, 0.0
+
+    run = _scan_runner(body)
+    st = make_state(jax.random.PRNGKey(0))
+    dt, _ = chain_time(run, {"tables": (st["tables"][1],)}, (jnp.int32(0),))
+    report("scatter_sorted_unique", dt)
+
+
+def v_pool_step_stream():
+    """Pool step with STREAMED positives: a pre-shuffled edge array read as
+    a contiguous dynamic slice per batch (the reference's pseudo-shuffle,
+    graph.cuh:376-450) instead of B random 8-byte gathers."""
+    h, t, nprob, nalias = edges()
+    ht = jnp.stack([h, t], axis=1)                 # [E, 2] pre-shuffled
+    n_slices = int(ht.shape[0]) // B
+    step = _steps.make_graph_pool_step(OPT, K, NEG_W)
+
+    def body(st, key, ht, nprob, nalias):
+        ks, kt = jax.random.split(key)
+        off = jax.random.randint(ks, (), 0, n_slices) * B
+        pair = jax.lax.dynamic_slice_in_dim(ht, off, B, axis=0)
+        st, loss = step(st, pair[:, 0], pair[:, 1], kt, jnp.float32(0.02),
+                        nprob, nalias)
+        return st, loss
+
+    run = _scan_runner(body)
+    dt, _ = chain_time(run, make_state(jax.random.PRNGKey(0)),
+                       (ht, nprob, nalias))
+    report("pool_step_stream", dt)
+
+
+def v_pool_step_stream_bf16():
+    h, t, nprob, nalias = edges()
+    ht = jnp.stack([h, t], axis=1)
+    n_slices = int(ht.shape[0]) // B
+    step = _steps.make_graph_pool_step(OPT, K, NEG_W)
+
+    def body(st, key, ht, nprob, nalias):
+        ks, kt = jax.random.split(key)
+        off = jax.random.randint(ks, (), 0, n_slices) * B
+        pair = jax.lax.dynamic_slice_in_dim(ht, off, B, axis=0)
+        st, loss = step(st, pair[:, 0], pair[:, 1], kt, jnp.float32(0.02),
+                        nprob, nalias)
+        return st, loss
+
+    run = _scan_runner(body)
+    st = make_state(jax.random.PRNGKey(0))
+    st = {"tables": tuple(x.astype(jnp.bfloat16) for x in st["tables"]),
+          "moments": ((), ())}
+    dt, _ = chain_time(run, st, (ht, nprob, nalias))
+    report("pool_step_stream_bf16", dt)
+
+
+def v_pool_step_stream_sorted():
+    """Streamed positives + batch sorted by head id: sorted vertex
+    gather/scatter (scatter_V1M_presorted showed 19.7 -> 13.2 ns/row)."""
+    h, t, nprob, nalias = edges()
+    ht = jnp.stack([h, t], axis=1)
+    n_slices = int(ht.shape[0]) // B
+    step = _steps.make_graph_pool_step(OPT, K, NEG_W)
+
+    def body(st, key, ht, nprob, nalias):
+        ks, kt = jax.random.split(key)
+        off = jax.random.randint(ks, (), 0, n_slices) * B
+        pair = jax.lax.dynamic_slice_in_dim(ht, off, B, axis=0)
+        order = jnp.argsort(pair[:, 0])
+        pair = pair[order]
+        st, loss = step(st, pair[:, 0], pair[:, 1], kt, jnp.float32(0.02),
+                        nprob, nalias)
+        return st, loss
+
+    run = _scan_runner(body)
+    dt, _ = chain_time(run, make_state(jax.random.PRNGKey(0)),
+                       (ht, nprob, nalias))
+    report("pool_step_stream_sorted", dt)
+
+
 VARIANTS.update({
     "blocked_scatter": v_blocked_scatter,
     "rng_cost": v_rng_cost,
+    "pool_step": v_pool_step,
+    "pool_step_bf16": v_pool_step_bf16,
+    "scatter_sorted_unique": v_scatter_sorted_unique,
+    "pool_step_stream": v_pool_step_stream,
+    "pool_step_stream_bf16": v_pool_step_stream_bf16,
+    "pool_step_stream_sorted": v_pool_step_stream_sorted,
 })
 
 

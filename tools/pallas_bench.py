@@ -105,21 +105,17 @@ def make_pallas_gather(chunk=512, depth=16):
 
         jax.lax.fori_loop(0, chunk, body, 0)
 
-    grid_spec = pl.GridSpec(
-        grid=(N // chunk,),
-        in_specs=[
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((chunk, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
     def gather(table, ids):
         return pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=(N // chunk,),
+            in_specs=[
+                pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((chunk, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N, D), table.dtype),
             scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
         )(ids.reshape(N, 1), table)
@@ -208,22 +204,18 @@ def make_pallas_rmw(chunk=512, depth=8):
 
         jax.lax.fori_loop(0, chunk, body, 0)
 
-    grid_spec = pl.GridSpec(
-        grid=(N // chunk,),
-        in_specs=[
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-    )
-
     def rmw(table, ids, upd):
         return pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=(N // chunk,),
+            in_specs=[
+                pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((V, D), table.dtype),
             scratch_shapes=[
                 pltpu.VMEM((depth, D), jnp.float32),
@@ -302,17 +294,17 @@ def make_pallas_sweep(tile_rows=8192, cap=8192):
 
             jax.lax.fori_loop(0, cnt, body, 0)
 
+    # index maps receive (grid indices..., *scalar_prefetch_refs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # lo, cnt
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # local ids [Npad, 1]
-            pl.BlockSpec(memory_space=pltpu.ANY),    # sorted updates [Npad, D]
-            pl.BlockSpec((tile_rows, D), lambda *_: (pl.program_id(0)
-                                                     if False else 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),       # local ids [Npad, 1]
+            pl.BlockSpec(memory_space=pl.ANY),       # sorted updates [Npad, D]
+            pl.BlockSpec((tile_rows, D), lambda i, lo, cnt: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_rows, D), lambda s1, s2, i: (i, 0),
+        out_specs=pl.BlockSpec((tile_rows, D), lambda i, lo, cnt: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((cap, D), jnp.float32),
@@ -321,8 +313,6 @@ def make_pallas_sweep(tile_rows=8192, cap=8192):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    # fix in_specs tile index map (same as out)
-    grid_spec.in_specs[2].index_map = lambda s1, s2, i: (i, 0)
 
     def sweep(table, sorted_ids, sorted_upd):
         npad = sorted_ids.shape[0]
