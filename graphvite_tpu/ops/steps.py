@@ -128,9 +128,22 @@ def graph_predict(model, vertex, context, heads, tails):
     return model.score(vertex[heads], context[tails])
 
 
+def graph_pool_groups(batch_size: int, target_group: int = 2048,
+                      lo: int = 8, hi: int = 256):
+    """Pool-group count for a batch: bound the per-group sample count so a
+    pool row's batch-accumulated update stays a small multiple of lr times
+    its own norm (see make_graph_pool_step stability note)."""
+    g = lo
+    while g < hi and batch_size // g > target_group:
+        g *= 2
+    while batch_size % g and g > 1:
+        g //= 2
+    return max(g, 1)
+
+
 def make_graph_pool_step(opt: Optimizer, num_negative: int,
                          negative_weight: float, pool_size: int = 256,
-                         pool_groups: int = 8):
+                         pool_groups: int = 8, trust: float = 0.25):
     """Shared-negative-pool graph step (negative sharing).
 
     Instead of K per-sample noise draws (gpu/graph.cuh:48-58 draws per
@@ -201,6 +214,23 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         dP = (jnp.einsum("gbm,gbd->gmd", gneg, v,
                          preferred_element_type=jnp.float32)
               + wd * (neg_w * bg) * P)
+        # STABILITY: a pool row accumulates up to Bg * neg_w weight mass at
+        # one stale point; when the group's v vectors are mutually aligned
+        # (community structure) the sum is coherent and lr * |dP| can exceed
+        # |P| itself — divergent oscillation (observed as NaN on a
+        # BlogCatalog-scale clone). Trust-ratio clip: the applied update may
+        # move a pool row by at most `trust` x (its norm + eps) per
+        # batch; inactive for incoherent (large-graph) regimes where
+        # |dP| ~ sqrt(Bg). The primary control is graph_pool_groups
+        # bounding Bg; this is the safety net.
+        if trust is not None:
+            dnorm = jnp.linalg.norm(dP.astype(jnp.float32), axis=-1,
+                                    keepdims=True)
+            limit = (trust * (jnp.linalg.norm(P.astype(jnp.float32),
+                                              axis=-1, keepdims=True)
+                              + 1e-2)
+                     / jnp.maximum(lr, EPSILON))
+            dP = dP * jnp.minimum(1.0, limit / jnp.maximum(dnorm, EPSILON))
 
         v_counts = v_sqs = c_counts = c_sqs = None
         if opt.num_moment > 0:

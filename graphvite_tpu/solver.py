@@ -253,9 +253,14 @@ class SolverBase:
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
                             / (self.num_negative + 2)), 512)
-        # multiple of 8 so the shared-negative-pool step can split the
-        # batch into its pool groups
-        return max(min(self.batch_size, mem_cap, touch_cap) // 8 * 8, 8)
+        # round to a multiple of 256 (small batches: 8) so the
+        # shared-negative-pool step can split the batch into up to 256
+        # pool groups (graph_pool_groups needs the group count to divide
+        # the batch; a //8 rounding would cap usable groups at 8)
+        cap = min(self.batch_size, mem_cap, touch_cap)
+        if cap >= 256:
+            return cap // 256 * 256
+        return max(cap // 8 * 8, 8)
 
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
@@ -593,8 +598,17 @@ class GraphSolver(SolverBase):
             negative_sharing = _os.environ.get(
                 "GRAPHVITE_NEG_SHARING", "1") != "0"
         if negative_sharing:
+            # group count scales with the batch so Bg = batch / G stays
+            # ~2k: a pool row's batch-accumulated update is O(lr * Bg *
+            # neg_w) when the group's head vectors are coherent, and an
+            # unbounded Bg diverges (steps.py stability note)
+            pool_batch = (self._effective_batch()
+                          if self.sampler_backend == "device"
+                          else self.batch_size)
+            pool_groups = _steps.graph_pool_groups(pool_batch)
             step_fn = _steps.make_graph_pool_step(
-                self.optimizer, self.num_negative, float(negative_weight))
+                self.optimizer, self.num_negative, float(negative_weight),
+                pool_groups=pool_groups)
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
@@ -629,7 +643,8 @@ class GraphSolver(SolverBase):
                          float(negative_weight), int(augmentation_step),
                          int(random_walk_length), float(p), float(q),
                          float(negative_sample_exponent),
-                         bool(negative_sharing))
+                         bool(negative_sharing),
+                         pool_groups if negative_sharing else 0)
             self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
                                     positive_reuse, log_frequency, False,
                                     cache_key)

@@ -29,7 +29,8 @@ def test_graph_pool_step_matches_autodiff():
     neg_weight = 5.0
     opt = Optimizer(type="SGD", lr=0.1, weight_decay=0.0)
     step = _steps.make_graph_pool_step(opt, K, neg_weight,
-                                       pool_size=M, pool_groups=G)
+                                       pool_size=M, pool_groups=G,
+                                       trust=None)
     vertex = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
     context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
     heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
@@ -91,6 +92,50 @@ def test_graph_pool_step_mask_drops_slots():
         np.testing.assert_allclose(
             np.asarray(new_state["tables"][0][h]),
             np.asarray(vertex[h]), rtol=1e-6)
+
+
+def test_graph_pool_groups_bounds_group_size():
+    for b in (8, 256, 2048, 100_000, 162_560, 200_192, 1_000_000):
+        g = _steps.graph_pool_groups(b)
+        assert b % g == 0, (b, g)
+        assert g <= 256
+        # group size bounded unless the divisibility walk-down forced it
+        if b % 256 == 0:
+            assert b // g <= 2048 or g == 256, (b, g)
+
+
+def test_graph_pool_step_trust_clip_bounds_update():
+    """With a pathologically coherent group (all heads identical and huge),
+    the clip must bound each pool row's displacement to
+    trust * (|row| + 1e-2); without it the row would blow up."""
+    rng = np.random.default_rng(3)
+    V, D, B, K = 20, 8, 16, 2
+    M, G = 4, 2
+    trust = 0.25
+    opt = Optimizer(type="SGD", lr=0.1, weight_decay=0.0)
+    step = _steps.make_graph_pool_step(opt, K, 5.0, pool_size=M,
+                                       pool_groups=G, trust=trust)
+    # one giant direction shared by every head -> coherent negative grads
+    vertex = jnp.asarray(np.tile(rng.normal(size=(1, D)) * 50.0, (V, 1)),
+                         jnp.float32)
+    context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    state = {"tables": (vertex, context), "moments": ((), ())}
+    lr = jnp.float32(0.1)
+    new_state, loss = step(state, heads, tails, jax.random.PRNGKey(11), lr,
+                           *_uniform_alias_state(V))
+    assert np.isfinite(float(loss))
+    moved = np.asarray(new_state["tables"][1]) - np.asarray(context)
+    # rows updated only as pool rows obey the bound; rows also updated as
+    # positives (tails) get the unclipped dc on top, so exclude them
+    tail_set = set(np.asarray(tails).tolist())
+    for r in range(V):
+        if r in tail_set:
+            continue
+        bound = trust * (np.linalg.norm(np.asarray(context[r])) + 1e-2)
+        # pool rows can be drawn by both groups -> at most 2x the bound
+        assert np.linalg.norm(moved[r]) <= 2 * bound + 1e-5
 
 
 def test_kg_external_pool_matches_standard_step():
