@@ -496,6 +496,68 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
 
 
 # ---------------------------------------------------------------------------
+# sequential micro-stepping: hogwild-like freshness inside one batch
+# ---------------------------------------------------------------------------
+
+def make_micro_step(step_fn, num_micro: int, has_relation: bool = False):
+    """Split each batch into `num_micro` sequential micro-steps inside the
+    jitted step: chunk i's row updates are applied before chunk i+1 is
+    scored.
+
+    The reference's hogwild kernels apply every sample at the then-current
+    table (gpu/graph.cuh:36-95 runs warp-per-sample read-modify-write), while
+    a batched step accumulates all updates at one stale parameter point —
+    quality collapses when touches-per-row-per-batch grows large (math
+    fixture MRR 0.67 at ~20 touches/row vs 0.13 at ~490, PERF.md). Scanning
+    micro-chunks bounds the per-application touch density at
+    batch/num_micro samples while preserving the configured batch size for
+    LR-schedule and accounting semantics — replacing the round-1
+    effective-batch shrink (GRAPHVITE_MAX_TOUCH now caps the micro-chunk)."""
+    R = int(num_micro)
+    if R <= 1:
+        return step_fn
+
+    if has_relation:
+        def step(state, heads, tails, rels, key, lr, mask=None):
+            bm = heads.shape[0] // R
+            xs = [heads.reshape(R, bm), tails.reshape(R, bm),
+                  rels.reshape(R, bm), jax.random.split(key, R)]
+            if mask is not None:
+                xs.append(mask.reshape(R, bm))
+
+            def body(st, x):
+                if mask is None:
+                    h, t, r, k = x
+                    return step_fn(st, h, t, r, k, lr)
+                h, t, r, k, m = x
+                return step_fn(st, h, t, r, k, lr, mask=m)
+
+            state, losses = jax.lax.scan(body, state, tuple(xs))
+            return state, jnp.mean(losses)
+
+        return step
+
+    def step(state, heads, tails, key, lr, *neg_state, mask=None):
+        bm = heads.shape[0] // R
+        xs = [heads.reshape(R, bm), tails.reshape(R, bm),
+              jax.random.split(key, R)]
+        if mask is not None:
+            xs.append(mask.reshape(R, bm))
+
+        def body(st, x):
+            if mask is None:
+                h, t, k = x
+                return step_fn(st, h, t, k, lr, *neg_state)
+            h, t, k, m = x
+            return step_fn(st, h, t, k, lr, *neg_state, mask=m)
+
+        state, losses = jax.lax.scan(body, state, tuple(xs))
+        return state, jnp.mean(losses)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # fused runner: positives sampled ON DEVICE inside the scan — zero per-batch
 # host traffic (the TPU-native replacement for the 2-pool CPU pipeline of
 # solver.h:417-462; see graphvite_tpu.ops.device_sampler)

@@ -230,48 +230,66 @@ class SolverBase:
                 for moms in arena["moments"]),
         }
 
-    def _effective_batch(self):
-        """Cap the batch by memory AND update staleness.
+    def _batch_plan(self):
+        """(effective_batch, micro_batch, num_micro).
 
         Memory: the step materializes ~8 tensors of [B, K+1, D] f32 (the
-        reference streams subsamples warp-by-warp instead).
+        reference streams subsamples warp-by-warp instead), so the batch is
+        capped by GRAPHVITE_STEP_BYTES (2 GB default — also the measured
+        throughput optimum on v5e: at 8 GB of live intermediates XLA starts
+        inserting remat/compress copies and KG steps run ~4x slower).
 
-        Staleness: a batch accumulates all its row updates at one stale
-        parameter point, while the reference's hogwild applies them
-        sequentially. When B * (K + 2) / num_rows touches per row per batch
-        grows large, quality collapses (math fixture, RotatE dim 128:
-        MRR 0.67 at ~20 touches/row vs 0.13 at ~490). Bound it at
-        GRAPHVITE_MAX_TOUCH (default 64) touches per row.
-
-        The 2 GB default is also the measured throughput optimum on v5e:
-        at 8 GB of live intermediates XLA starts inserting remat/compress
-        copies and KG steps run ~4x slower per sample."""
+        Staleness: a batched step accumulates all its row updates at one
+        stale parameter point, while the reference's hogwild applies them
+        sequentially; quality collapses when touches-per-row-per-batch grows
+        large (math fixture, RotatE dim 128: MRR 0.67 at ~20 touches/row vs
+        0.13 at ~490). Instead of shrinking the batch (round 1's
+        GRAPHVITE_MAX_TOUCH cap), the batch is split into `num_micro`
+        SEQUENTIAL micro-steps inside the jitted step (ops.steps.
+        make_micro_step): each micro-chunk stays under GRAPHVITE_MAX_TOUCH
+        (default 64) touches per row, and its updates land before the next
+        chunk is scored — hogwild-like freshness at the full configured
+        batch size. Memory still shrinks the batch (it bounds what can be
+        live at once; a scan chunk would not reduce peak footprint of the
+        enclosing sampler pools), staleness no longer does."""
         import os as _os
         live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
         budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
         mem_cap = max(int(budget / max(live_bytes, 1)), 512)
-        tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
-        touch_cap = max(int(tau * self.graph.num_vertex
-                            / (self.num_negative + 2)), 512)
         # round to a multiple of 256 (small batches: 8) so the
         # shared-negative-pool step can split the batch into up to 256
         # pool groups (graph_pool_groups needs the group count to divide
         # the batch; a //8 rounding would cap usable groups at 8)
-        cap = min(self.batch_size, mem_cap, touch_cap)
-        if cap >= 256:
-            return cap // 256 * 256
-        return max(cap // 8 * 8, 8)
+        eff = min(self.batch_size, mem_cap)
+        unit = 256 if eff >= 256 else 8
+        eff = max(eff // unit * unit, unit)
+        tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
+        touch_cap = max(int(tau * self.graph.num_vertex
+                            / (self.num_negative + 2)), 512)
+        if eff <= touch_cap:
+            return eff, eff, 1
+        micro = min(-(-eff // touch_cap), 256)
+        bm = max(eff // micro // unit * unit, unit)
+        return bm * micro, bm, micro
+
+    def _effective_batch(self):
+        return self._batch_plan()[0]
 
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
                            cache_key=None):
         """Fully-fused loop: positives sampled on device inside the scan."""
         num_edge = self.graph.num_edge
-        batch_size = self._effective_batch()
+        batch_size, micro_batch, num_micro = self._batch_plan()
         self.effective_batch = batch_size  # what bench/sample accounting must use
         if batch_size < self.batch_size:
             logger.info("batch_size %d -> %d to fit step intermediates",
                         self.batch_size, batch_size)
+        if num_micro > 1:
+            logger.info("batch of %d applied as %d sequential micro-steps "
+                        "of %d (staleness bound)", batch_size, num_micro,
+                        micro_batch)
+            step_fn = _steps.make_micro_step(step_fn, num_micro, has_relation)
         self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
         R = max(int(positive_reuse), 1)
         # clamp so short runs don't overshoot by a whole episode
@@ -283,7 +301,8 @@ class SolverBase:
                 has_relation)
         else:
             runner = self._get_runner(
-                cache_key + (ep_groups, R, has_relation, self.batch_size),
+                cache_key + (ep_groups, R, has_relation, self.batch_size,
+                             num_micro),
                 step_fn, sample_fn, ep_groups, R, has_relation)
         sampler_arrays = sampler.arrays()
         key = jax.random.PRNGKey(self.seed + self.batch_id)
@@ -598,11 +617,12 @@ class GraphSolver(SolverBase):
             negative_sharing = _os.environ.get(
                 "GRAPHVITE_NEG_SHARING", "1") != "0"
         if negative_sharing:
-            # group count scales with the batch so Bg = batch / G stays
-            # ~2k: a pool row's batch-accumulated update is O(lr * Bg *
-            # neg_w) when the group's head vectors are coherent, and an
-            # unbounded Bg diverges (steps.py stability note)
-            pool_batch = (self._effective_batch()
+            # group count scales with the MICRO-batch (the unit the pool
+            # step sees) so Bg = batch / G stays ~2k: a pool row's
+            # accumulated update is O(lr * Bg * neg_w) when the group's head
+            # vectors are coherent, and an unbounded Bg diverges (steps.py
+            # stability note)
+            pool_batch = (self._batch_plan()[1]
                           if self.sampler_backend == "device"
                           else self.batch_size)
             pool_groups = _steps.graph_pool_groups(pool_batch)

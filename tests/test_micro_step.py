@@ -1,0 +1,163 @@
+"""Sequential micro-stepping (ops.steps.make_micro_step): the staleness fix
+replacing round-1's effective-batch shrink.
+
+- The wrapper must EXACTLY equal applying the base step over the R chunks in
+  order (same derived keys), for graph steps (varargs neg_state) and KG steps
+  (relations + mask).
+- SolverBase._batch_plan must engage micro-stepping when the touch cap binds
+  and keep memory as a batch shrink.
+- Quality: the math fixture must hold its MRR gate at a touch density deep in
+  the regime where a single stale batch collapses (PERF.md: MRR 0.13 at ~490
+  touches/row vs 0.67 at ~20).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphvite_tpu.optim import Optimizer
+from graphvite_tpu.ops import steps as _steps
+from graphvite_tpu.models import GRAPH_MODELS, KG_MODELS
+
+
+def _uniform_alias_state(n):
+    packed = np.stack([np.ones(n, np.float32),
+                       np.arange(n, dtype=np.float32)], axis=1)
+    return (jnp.asarray(packed),)
+
+
+def test_micro_step_matches_sequential_chunks_graph():
+    rng = np.random.default_rng(0)
+    V, D, B, K, R = 40, 8, 32, 2, 4
+    opt = Optimizer(type="Adam", lr=0.05, weight_decay=1e-3)
+    base = _steps.make_graph_train_step(GRAPH_MODELS["LINE"], opt, K, 5.0)
+    micro = _steps.make_micro_step(base, R)
+
+    vertex = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    neg_state = _uniform_alias_state(V)
+    key = jax.random.PRNGKey(7)
+    lr = jnp.float32(0.05)
+    moms = lambda: tuple(jnp.zeros((V, D), jnp.float32)
+                         for _ in range(opt.num_moment))
+    state = {"tables": (vertex, context), "moments": (moms(), moms())}
+
+    got, got_loss = jax.jit(micro)(state, heads, tails, key, lr, *neg_state)
+
+    # manual sequential application over contiguous chunks
+    want = {"tables": (vertex, context), "moments": (moms(), moms())}
+    ks = jax.random.split(key, R)
+    losses = []
+    bm = B // R
+    for i in range(R):
+        sl = slice(i * bm, (i + 1) * bm)
+        want, l = base(want, heads[sl], tails[sl], ks[i], lr, *neg_state)
+        losses.append(float(l))
+
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(got_loss), np.mean(losses), rtol=1e-5)
+    # freshness: the single-shot stale batch must differ (same total samples)
+    stale, _ = base(state, heads, tails, key, lr, *neg_state)
+    assert not np.allclose(np.asarray(got["tables"][0]),
+                           np.asarray(stale["tables"][0]))
+
+
+def test_micro_step_matches_sequential_chunks_kg_mask():
+    rng = np.random.default_rng(1)
+    V, NR, D, B, K, R = 30, 5, 16, 24, 3, 3
+    opt = Optimizer(type="Adam", lr=0.02, weight_decay=0.0)
+    base = _steps.make_kg_train_step(KG_MODELS["RotatE"], opt, K, 6.0, 2.0,
+                                     1.0)
+    micro = _steps.make_micro_step(base, R, has_relation=True)
+
+    entity = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    relation = jnp.asarray(rng.normal(size=(NR, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, NR, B), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    lr = jnp.float32(0.02)
+    moms = lambda s: tuple(jnp.zeros(s, jnp.float32)
+                           for _ in range(opt.num_moment))
+    init = {"tables": (entity, relation),
+            "moments": (moms((V, D)), moms((NR, D)))}
+
+    got, _ = jax.jit(micro)(init, heads, tails, rels, key, lr, mask=mask)
+
+    want = {"tables": (entity, relation),
+            "moments": (moms((V, D)), moms((NR, D)))}
+    ks = jax.random.split(key, R)
+    bm = B // R
+    for i in range(R):
+        sl = slice(i * bm, (i + 1) * bm)
+        want, _ = base(want, heads[sl], tails[sl], rels[sl], ks[i], lr,
+                       mask=mask[sl])
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_batch_plan_micro_on_touch_cap_shrink_on_memory():
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+    from graphvite_tpu.graph import KnowledgeGraph
+
+    g = KnowledgeGraph()
+    g.num_vertex = 1000
+    g.num_relation = 10
+    g.num_edge = 20000
+    s = KnowledgeGraphSolver(dim=64)
+    s.graph = g
+    s.num_negative = 8
+    s.batch_size = 20000
+    # touch cap = 64 * 1000 / 10 = 6400 < 20000 -> micro-steps, full batch
+    eff, bm, r = s._batch_plan()
+    assert r > 1
+    assert bm <= 6400
+    assert eff == bm * r
+    assert eff >= 0.9 * 20000  # the batch is NOT shrunk for staleness
+    # memory cap still shrinks: dim 2048, K=64 -> ~462 samples per 2 GB
+    s2 = KnowledgeGraphSolver(dim=2048)
+    s2.graph = g
+    s2.num_negative = 64
+    s2.batch_size = 100000
+    eff2, bm2, r2 = s2._batch_plan()
+    assert eff2 == bm2 and r2 == 1
+    assert eff2 <= 1024
+
+
+def test_math_quality_at_high_touch_density():
+    """RotatE on the math fixture with batch 20000 on V=1000 (K=8: ~200
+    touches/row/batch — collapse regime for a stale batch) must hold the
+    same MRR gate as the batch-2000 run in test_application.py, because the
+    plan splits it into fresh micro-chunks."""
+    from collections import defaultdict
+    from graphvite_tpu import dataset as ds
+    from graphvite_tpu.graph import KnowledgeGraph
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+    from graphvite_tpu.application import evaluate as ev
+
+    kg = KnowledgeGraph().load_file(ds.math.train)
+    s = KnowledgeGraphSolver(dim=64, seed=0)
+    s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+            batch_size=20000, episode_size=20)
+    s.train(model="RotatE", num_epoch=250, margin=9.0, log_frequency=10**9)
+    assert s.effective_batch >= 18000, s.effective_batch  # not shrunk
+    test = [l.split("\t")
+            for l in open(ds.math.test).read().splitlines()[:400]]
+    e2i, r2i = kg.entity2id, kg.relation2id
+    rows = [(e2i[h], r2i[r], e2i[t]) for h, r, t in test
+            if h in e2i and r in r2i and t in e2i]
+    H, R, T = (np.asarray(x) for x in zip(*rows))
+    rk = ev.filtered_rankings("RotatE", s.entity_embeddings,
+                              s.relation_embeddings, H, R, T,
+                              defaultdict(set), defaultdict(set), 9.0,
+                              "tail")
+    m = ev.ranking_metrics(rk)
+    assert m["MRR"] > 0.35, m
+    assert m["HITS@10"] > 0.55, m
