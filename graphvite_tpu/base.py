@@ -26,7 +26,15 @@ float_type = np.float32
 index_type = np.int32
 backend = "graphvite"
 
-_FLOAT_TYPES = {"float32": np.float32, "float64": np.float64}
+# bfloat16 (via ml_dtypes, numpy-compatible) is the TPU-native embedding
+# dtype: tables at half the HBM traffic, compute and moments stay f32
+try:
+    import ml_dtypes as _ml_dtypes
+    _BF16 = _ml_dtypes.bfloat16
+except ImportError:  # pragma: no cover
+    _BF16 = np.float32
+_FLOAT_TYPES = {"float32": np.float32, "float64": np.float64,
+                "bfloat16": _BF16}
 _INDEX_TYPES = {"uint32": np.int32, "int32": np.int32,
                 "uint64": np.int64, "int64": np.int64}
 

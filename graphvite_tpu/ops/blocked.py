@@ -84,6 +84,55 @@ class FlatBlockTables:
                       self.offsets, self.block_prob, self.block_alias))
 
 
+def make_block_episode_runner(step_fn, opt: Optimizer, batch_size: int,
+                              ep_batches: int):
+    """One device call = one episode on ONE (head, tail) block, with the
+    block identity entering ONLY through the arrays passed in (the block's
+    edge-range scalars and the resident shards). A single compiled
+    executable therefore serves every block, and donation updates the
+    shards in place — no [P, cap, D] arena and no dynamic_update_slice
+    inside the loop (whose whole-arena copies made the round-1 blocked
+    runner lose to the flat path, PERF.md). This is the reference's episode
+    residency (solver.h:588-654) with HBM shards instead of GPU caches.
+
+    step_fn: make_sharded_graph_step signature —
+    step(local, (heads, tails, mask), key, lr, neg_prob, neg_alias,
+    neg_size) over partition-LOCAL ids.
+
+    run(local, lo, n_blk, batch_id0, num_batch_total, base_key,
+        eprob, ealias, eheads, etails, nprob, nalias, nsize)
+      -> (local, losses[ep_batches])
+    where (eprob, ealias, eheads, etails) are FlatBlockTables flat arrays
+    and [lo, lo + n_blk) the block's edge range.
+    """
+    B = int(batch_size)
+    EP = int(ep_batches)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(local, lo, n_blk, batch_id0, num_batch_total, base_key,
+            eprob, ealias, eheads, etails, nprob, nalias, nsize):
+        def body(carry, it):
+            st = carry
+            lr = opt.schedule_lr(batch_id0 + it, num_batch_total)
+            key = jax.random.fold_in(base_key, it)
+            ks, kt = jax.random.split(key)
+            ue = jax.random.uniform(ks, (2, B))
+            safe_n = jnp.maximum(n_blk, 1)
+            idx = lo + jnp.minimum((ue[0] * safe_n).astype(jnp.int32),
+                                   safe_n - 1)
+            eid = jnp.where(ue[1] < eprob[idx], idx, lo + ealias[idx])
+            h = eheads[eid]
+            t = etails[eid]
+            mask = jnp.broadcast_to((n_blk > 0).astype(jnp.float32), (B,))
+            return step_fn(st, (h, t, mask), kt, lr, nprob, nalias, nsize)
+
+        local, losses = jax.lax.scan(
+            body, local, jnp.arange(EP, dtype=jnp.int32))
+        return local, losses
+
+    return run
+
+
 def make_blocked_runner(step_fn, opt: Optimizer, num_partition: int,
                         batch_size: int, ep_batches: int):
     """Episode runner over a [P, cap, D] arena.

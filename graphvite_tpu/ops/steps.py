@@ -70,9 +70,11 @@ def _mask_ids(ids, mask, sentinel):
 # ---------------------------------------------------------------------------
 
 def make_graph_train_step(model, opt: Optimizer, num_negative: int,
-                          negative_weight: float):
+                          negative_weight: float, trust=None):
     """state tables: (vertex, context); batch: (heads[B], tails[B]);
-    negative sampler state: (prob[Vc], alias[Vc]) device alias arrays."""
+    negative sampler state: (prob[Vc], alias[Vc]) device alias arrays.
+    `trust` (solver paths): per-row displacement clip for the SGD rule —
+    see optim.apply_row_updates."""
 
     def step(state, heads, tails, key, lr, *neg_state, mask=None):
         vertex, context = state["tables"]
@@ -84,9 +86,11 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
         u2 = jax.random.uniform(k2, (b, k))
         negs = device_sample(*neg_state, u1, u2)
 
-        v = vertex[heads]                                    # [B, D]
+        # gathers hit the (possibly bf16) table for HBM-traffic savings;
+        # all scoring/gradient compute is f32 (scatter casts back)
+        v = vertex[heads].astype(jnp.float32)                # [B, D]
         ctx_ids = jnp.concatenate([negs, tails[:, None]], axis=1)  # [B, K+1]
-        c = context[ctx_ids]                                 # [B, K+1, D]
+        c = context[ctx_ids].astype(jnp.float32)             # [B, K+1, D]
         logits = model.score(v[:, None, :], c)               # [B, K+1]
         gradient, weight, sample_loss = _logistic_terms(
             logits, k, negative_weight, mask)
@@ -108,11 +112,12 @@ def make_graph_train_step(model, opt: Optimizer, num_negative: int,
             v_sqs = jnp.sum(per_touch_v * per_touch_v, axis=1)
         new_vertex, new_v_moms = apply_row_updates(
             vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
-            reg_v, opt, lr, entry_counts=v_counts, entry_sqs=v_sqs)
+            reg_v, opt, lr, entry_counts=v_counts, entry_sqs=v_sqs,
+            trust=trust)
         new_context, new_c_moms = apply_row_updates(
             context, c_moms,
             _mask_ids(ctx_ids, mask, context.shape[0]).reshape(-1),
-            reg_c.reshape(b * (k + 1), -1), opt, lr)
+            reg_c.reshape(b * (k + 1), -1), opt, lr, trust=trust)
         new_state = {"tables": (new_vertex, new_context),
                      "moments": (new_v_moms, new_c_moms)}
         if mask is None:
@@ -179,9 +184,10 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         u2 = jax.random.uniform(k2, (G, M))
         pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
 
-        v = vertex[heads].reshape(G, bg, -1)                 # [G, Bg, D]
-        c = context[tails].reshape(G, bg, -1)
-        P = context[pool_ids]                                # [G, M, D]
+        # f32 compute over (possibly bf16) gathered rows
+        v = vertex[heads].reshape(G, bg, -1).astype(jnp.float32)  # [G, Bg, D]
+        c = context[tails].reshape(G, bg, -1).astype(jnp.float32)
+        P = context[pool_ids].astype(jnp.float32)             # [G, M, D]
 
         pos_logit = jnp.sum(v * c, axis=-1)                  # [G, Bg]
         neg_logits = jnp.einsum("gbd,gmd->gbm", v, P,
@@ -255,7 +261,7 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         new_vertex, new_v_moms = apply_row_updates(
             vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
             dv.reshape(b, -1), opt, lr,
-            entry_counts=v_counts, entry_sqs=v_sqs)
+            entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
         ctx_ids = jnp.concatenate(
             [_mask_ids(tails, mask, context.shape[0]),
              pool_ids.reshape(-1)])
@@ -263,7 +269,7 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
             [dc.reshape(b, -1), dP.reshape(G * M, -1)])
         new_context, new_c_moms = apply_row_updates(
             context, c_moms, ctx_ids, ctx_grads, opt, lr,
-            entry_counts=c_counts, entry_sqs=c_sqs)
+            entry_counts=c_counts, entry_sqs=c_sqs, trust=trust)
         new_state = {"tables": (new_vertex, new_context),
                      "moments": (new_v_moms, new_c_moms)}
         return new_state, mean_loss
@@ -304,7 +310,7 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         if external_pool:
             pool_rows, pool_idx, corrupt_head = pool
             cand_ids = None
-            cand = pool_rows[pool_idx]                       # [B, K, D]
+            cand = pool_rows[pool_idx].astype(jnp.float32)   # [B, K, D]
         elif negatives is None:
             neg_ids = jax.random.randint(key, (b, k), 0, 2 * num_entity)
             corrupt_head = neg_ids < num_entity
@@ -320,14 +326,14 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
         # positive tail, K corruption candidates) instead of 2(K+1) — the
         # corrupted side reuses the candidate row, the other side reuses
         # the positive row (split-id trick, gpu/knowledge_graph.cuh:65-69)
-        h_pos = entity[heads][:, None, :]                    # [B, 1, D]
-        t_pos = entity[tails][:, None, :]
+        h_pos = entity[heads][:, None, :].astype(jnp.float32)  # [B, 1, D]
+        t_pos = entity[tails][:, None, :].astype(jnp.float32)
         if not external_pool:
-            cand = entity[cand_ids]                          # [B, K, D]
+            cand = entity[cand_ids].astype(jnp.float32)      # [B, K, D]
         ch = corrupt_head[..., None]
         h = jnp.concatenate([jnp.where(ch, cand, h_pos), h_pos], axis=1)
         t = jnp.concatenate([jnp.where(ch, t_pos, cand), t_pos], axis=1)
-        r = relation[rels][:, None, :]                       # [B, 1, D]
+        r = relation[rels][:, None, :].astype(jnp.float32)   # [B, 1, D]
         logits = model.score(h, t, r, margin_or_l3)          # [B, K+1]
 
         prob = jax.nn.sigmoid(logits)
@@ -429,7 +435,7 @@ def kg_predict(model, entity, relation, heads, tails, rels, margin_or_l3):
 # ---------------------------------------------------------------------------
 
 def make_vis_train_step(model, opt: Optimizer, num_negative: int,
-                        negative_weight: float):
+                        negative_weight: float, trust=None):
     SMOOTH = 0.1  # gpu/visualization.cuh:29
 
     def step(state, heads, tails, key, lr, *neg_state, mask=None):
@@ -442,9 +448,9 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
         u2 = jax.random.uniform(k2, (b, k))
         negs = device_sample(*neg_state, u1, u2)
 
-        h = coord[heads][:, None, :]                         # [B, 1, D]
+        h = coord[heads][:, None, :].astype(jnp.float32)     # [B, 1, D]
         t_ids = jnp.concatenate([negs, tails[:, None]], axis=1)
-        t = coord[t_ids]                                     # [B, K+1, D]
+        t = coord[t_ids].astype(jnp.float32)                 # [B, K+1, D]
         x = model.score(h, t)                                # [B, K+1]
         prob = 1.0 / (1.0 + x)
         is_pos = jnp.concatenate(
@@ -484,7 +490,7 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
                  (reg_t * reg_t).reshape(b * (k + 1), -1)])
         new_coord, new_moms = apply_row_updates(coord, moms, ids, grads, opt,
                                                 lr, entry_counts=counts,
-                                                entry_sqs=sqs)
+                                                entry_sqs=sqs, trust=trust)
         if mask is None:
             mean_loss = jnp.mean(sample_loss)
         else:

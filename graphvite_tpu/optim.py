@@ -272,7 +272,8 @@ def _apply_row_updates_dense(table, moments, ids, reg_grads, opt: Optimizer,
 
 
 def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
-                      lr_scale=1.0, entry_counts=None, entry_sqs=None):
+                      lr_scale=1.0, entry_counts=None, entry_sqs=None,
+                      trust=None):
     """Apply optimizer updates for per-touch regularized gradients.
 
     table:      [V, D] parameter table
@@ -287,10 +288,32 @@ def apply_row_updates(table, moments, ids, reg_grads, opt: Optimizer, lr,
                 `relation -= relation_lr_multiplier * update(...)`).
     entry_counts / entry_sqs: see dedup_rows — per-entry touch counts and
                 summed squared per-touch gradients for pre-accumulated entries.
+    trust:      optional trust-ratio clip for the UNNORMALIZED (SGD) rule:
+                a row's accumulated per-batch displacement is clipped to
+                trust * (|row| + 1e-2). A hub row a power-law batch touches
+                hundreds of times accumulates all of them at one stale point
+                (the reference's hogwild applies each fresh,
+                gpu/graph.cuh:36-95) — on dense small graphs the
+                hub<->context feedback diverges to NaN (BlogCatalog-scale
+                clone). Inactive for healthy updates; applied via the dense
+                accumulate path, so only for tables <= DENSE_UPDATE_ELEMS
+                (larger tables have proportionally sparser touch densities).
+                Moment rules need no clip: their updates are
+                magnitude-normalized per touch.
     """
     if opt.num_moment == 0:
-        # pure scatter-add; duplicates accumulate natively, out-of-range drops
         delta = (lr * lr_scale) * reg_grads
+        if (trust is not None
+                and table.shape[0] * table.shape[1] <= DENSE_UPDATE_ELEMS):
+            acc = jnp.zeros(table.shape, jnp.float32).at[ids].add(
+                delta.astype(jnp.float32), mode="drop")
+            dnorm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+            limit = trust * (jnp.linalg.norm(table.astype(jnp.float32),
+                                             axis=-1, keepdims=True) + 1e-2)
+            acc = acc * jnp.minimum(
+                1.0, limit / jnp.maximum(dnorm, 1e-30))
+            return (table - acc.astype(table.dtype)), moments
+        # pure scatter-add; duplicates accumulate natively, out-of-range drops
         return (table.at[ids].add(-delta.astype(table.dtype), mode="drop"),
                 moments)
 

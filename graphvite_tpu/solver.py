@@ -58,6 +58,11 @@ class SolverBase:
                 "num_worker=%d but only %d devices visible"
                 % (self.num_worker, len(jax.devices())))
         self.dim = int(dim)
+        if isinstance(float_type, str):
+            from graphvite_tpu.base import _FLOAT_TYPES
+            float_type = _FLOAT_TYPES.get(float_type, float_type)
+        # bfloat16 tables (ml_dtypes): half the HBM row traffic on the
+        # gather/scatter-bound steps; moments and compute stay float32
         self.float_type = np.dtype(float_type)
         self.index_type = np.dtype(index_type)
         self.seed = seed
@@ -103,7 +108,10 @@ class SolverBase:
     def _allocate(self):
         shapes = self._table_shapes()
         tables = tuple(jnp.zeros(s, dtype=self.float_type.name) for s in shapes)
-        moments = tuple(self.optimizer.init_moments(s, self.float_type.name)
+        # moments are always f32: bf16 EMA accumulators lose the update
+        # signal entirely at GraphVite's beta values (1 - beta ~ 1e-3 < bf16
+        # epsilon 7.8e-3)
+        moments = tuple(self.optimizer.init_moments(s, "float32")
                         for s in shapes)
         self.state = {"tables": tables, "moments": moments}
 
@@ -147,70 +155,106 @@ class SolverBase:
     def _train_loop_blocked(self, model_cls, num_epoch, num_partition,
                             negative_weight, negative_sample_exponent,
                             log_frequency):
-        """Block-partitioned episodes on one chip (ops/blocked.py): every
-        batch trains one (head, tail) partition block so scatters touch
-        cap x D instead of V x D."""
-        from graphvite_tpu.parallel.mesh import VertexPartition
+        """Block-partitioned episodes on one chip: every episode trains one
+        (head, tail) partition block so scatters touch cap x D instead of
+        V x D (XLA's scatter lowering scans the whole destination table —
+        77.9 ns/row at V=4M vs 15.8 at 250k, PERF.md). Blocks are scheduled
+        on HOST ~ block edge weight and the shards passed by value to ONE
+        compiled episode (ops/blocked.py make_block_episode_runner), so
+        there is no arena copy — the round-1 runner's loss mode."""
+        from graphvite_tpu.parallel.mesh import (VertexPartition,
+                                                 make_sharded_graph_step)
 
+        P_ = int(num_partition)
         num_edge = self.graph.num_edge
         self.num_batch = max(int(num_epoch * num_edge // self.batch_size), 1)
         self.effective_batch = self.batch_size
-        ep_batches = max(min(self._episode_batches(), self.num_batch), 1)
+        # many short residencies: every block must be revisited often or its
+        # burst gets overwritten (the same catastrophic-interference rule as
+        # the mesh loop; ref auto episode_size solver.h:426-436)
+        import os as _os4
+        min_sweeps = int(_os4.environ.get("GRAPHVITE_MIN_SWEEPS", 16))
+        sweep_cap = max(self.num_batch // (P_ * P_ * min_sweeps), 1)
+        ep_batches = max(min(self._episode_batches(), sweep_cap,
+                             self.num_batch), 1)
 
-        prep_key = (id(self.graph), "blocked", num_partition,
+        prep_key = (id(self.graph), "blocked", P_,
                     float(negative_sample_exponent))
         if getattr(self, "_blocked_key", None) != prep_key:
-            part = VertexPartition(np.asarray(self.graph.degrees),
-                                   num_partition)
+            part = VertexPartition(np.asarray(self.graph.degrees), P_)
             tables = _blocked.FlatBlockTables(self.graph, part)
             nprob, nalias, nsizes = part.negative_alias_arrays(
                 np.asarray(self.graph.vertex_weights),
                 negative_sample_exponent)
             self._blocked_part = part
-            self._blocked_arrays = tables.device_arrays()
-            self._blocked_neg = (jnp.asarray(nprob), jnp.asarray(nalias),
-                                 jnp.asarray(nsizes))
+            self._blocked_tables = tables
+            self._blocked_edges = tuple(jnp.asarray(a) for a in (
+                tables.prob, tables.alias, tables.heads, tables.tails))
+            self._blocked_neg = ([jnp.asarray(nprob[p]) for p in range(P_)],
+                                 [jnp.asarray(nalias[p]) for p in range(P_)],
+                                 [jnp.int32(nsizes[p]) for p in range(P_)])
             self._blocked_key = prep_key
         part = self._blocked_part
+        tables = self._blocked_tables
 
-        from graphvite_tpu.parallel.mesh import make_sharded_graph_step
         step = make_sharded_graph_step(
             model_cls, self.optimizer, self.num_negative,
             float(negative_weight))
-        runner_key = ("blocked", self.optimizer, self.num_negative,
-                      float(negative_weight), num_partition,
-                      self.batch_size, ep_batches)
+        runner_key = ("blocked_ep", self.optimizer, self.num_negative,
+                      float(negative_weight), self.batch_size, ep_batches,
+                      part.capacity)
         if not hasattr(self, "_runner_cache"):
             self._runner_cache = {}
         runner = self._runner_cache.get(runner_key)
         if runner is None:
-            runner = _blocked.make_blocked_runner(
-                step, self.optimizer, num_partition, self.batch_size,
-                ep_batches)
+            runner = _blocked.make_block_episode_runner(
+                step, self.optimizer, self.batch_size, ep_batches)
             self._runner_cache[runner_key] = runner
 
-        # shard the canonical [V, D] state into the [P, cap, D] arena
-        arena = {
-            "tables": tuple(jnp.asarray(part.shard_rows(np.asarray(t)))
-                            for t in self.state["tables"]),
-            "moments": tuple(
-                tuple(jnp.asarray(part.shard_rows(np.asarray(m)))
-                      for m in moms)
-                for moms in self.state["moments"]),
-        }
+        # per-partition shards held as separate device arrays (donated to
+        # each episode call and replaced by its outputs)
+        def split(t):
+            sh = part.shard_rows(np.asarray(t))
+            return [jnp.asarray(sh[p]) for p in range(P_)]
+
+        vparts = split(self.state["tables"][0])
+        cparts = split(self.state["tables"][1])
+        vmoms = [split(m) for m in self.state["moments"][0]]
+        cmoms = [split(m) for m in self.state["moments"][1]]
+        nprob, nalias, nsizes = self._blocked_neg
+
+        offsets = tables.offsets
+        block_w = np.maximum(
+            (offsets[1:] - offsets[:-1]).astype(np.float64), 0)
+        # schedule blocks ~ edge mass (the sampler's two-level factorization
+        # done on host, one block per episode)
+        block_p = block_w / block_w.sum()
+        rng = np.random.default_rng(self.seed ^ 0x5eed)
         key = jax.random.PRNGKey(self.seed + self.batch_id)
         num_batch_dev = jnp.int32(self.num_batch)
         logger.info("training %s: %d batches of %d "
                     "(blocked episodes of %d batches, %d^2 blocks)",
                     self.model, self.num_batch, self.batch_size, ep_batches,
-                    num_partition)
+                    P_)
         next_log = log_frequency
         losses_acc = []
         while self.batch_id < self.num_batch:
+            blk = int(rng.choice(block_p.size, p=block_p))
+            i, j = blk // P_, blk % P_
             key, sub = jax.random.split(key)
-            arena, losses = runner(arena, jnp.int32(self.batch_id),
-                                   num_batch_dev, sub, self._blocked_arrays,
-                                   self._blocked_neg)
+            local = {"tables": (vparts[i], cparts[j]),
+                     "moments": (tuple(m[i] for m in vmoms),
+                                 tuple(m[j] for m in cmoms))}
+            local, losses = runner(
+                local, jnp.int32(offsets[blk]),
+                jnp.int32(offsets[blk + 1] - offsets[blk]),
+                jnp.int32(self.batch_id), num_batch_dev, sub,
+                *self._blocked_edges, nprob[j], nalias[j], nsizes[j])
+            vparts[i], cparts[j] = local["tables"]
+            for m, nm in zip(vmoms, local["moments"][0]):
+                m[i] = nm
+            for m, nm in zip(cmoms, local["moments"][1]):
+                m[j] = nm
             self.batch_id += ep_batches
             losses_acc.append(losses)
             if self.batch_id >= next_log or self.batch_id >= self.num_batch:
@@ -220,14 +264,15 @@ class SolverBase:
                             self.num_batch, mean_loss)
                 losses_acc = []
                 next_log = self.batch_id + log_frequency
-        # unshard the arena back into canonical [V, D] state
+
+        def join(parts):
+            return jnp.asarray(part.unshard_rows(
+                np.stack([np.asarray(p) for p in parts])))
+
         self.state = {
-            "tables": tuple(jnp.asarray(part.unshard_rows(np.asarray(t)))
-                            for t in arena["tables"]),
-            "moments": tuple(
-                tuple(jnp.asarray(part.unshard_rows(np.asarray(m)))
-                      for m in moms)
-                for moms in arena["moments"]),
+            "tables": (join(vparts), join(cparts)),
+            "moments": (tuple(join(m) for m in vmoms),
+                        tuple(join(m) for m in cmoms)),
         }
 
     def _batch_plan(self):
@@ -374,7 +419,10 @@ class SolverBase:
 
     # -- persistence ---------------------------------------------------------
     def table(self, i):
-        return np.asarray(self.state["tables"][i])
+        """Host view of a table, always float32 (bf16 device tables are
+        widened so downstream eval/save paths stay dtype-agnostic)."""
+        t = np.asarray(self.state["tables"][i])
+        return t.astype(np.float32) if t.dtype != np.float32 else t
 
     def save_checkpoint(self, file_name):
         """Mid-training checkpoint: tables + optimizer moments + batch
@@ -438,8 +486,7 @@ class GraphSolver(SolverBase):
                 self.float_type.name)
         tables = (vertex,
                   jnp.zeros((v, self.dim), dtype=self.float_type.name))
-        moments = tuple(self.optimizer.init_moments((v, self.dim),
-                                                    self.float_type.name)
+        moments = tuple(self.optimizer.init_moments((v, self.dim), "float32")
                         for _ in range(2))
         self.state = {"tables": tables, "moments": moments}
 
@@ -616,6 +663,11 @@ class GraphSolver(SolverBase):
             import os as _os
             negative_sharing = _os.environ.get(
                 "GRAPHVITE_NEG_SHARING", "1") != "0"
+        # SGD safety net for dense small graphs: hub rows a batch touches
+        # hundreds of times otherwise diverge (optim.apply_row_updates trust
+        # note; reproduced on the BlogCatalog-statistics clone)
+        import os as _os3
+        trust = float(_os3.environ.get("GRAPHVITE_TRUST", 0.25)) or None
         if negative_sharing:
             # group count scales with the MICRO-batch (the unit the pool
             # step sees) so Bg = batch / G stays ~2k: a pool row's
@@ -628,11 +680,11 @@ class GraphSolver(SolverBase):
             pool_groups = _steps.graph_pool_groups(pool_batch)
             step_fn = _steps.make_graph_pool_step(
                 self.optimizer, self.num_negative, float(negative_weight),
-                pool_groups=pool_groups)
+                pool_groups=pool_groups, trust=trust)
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
-                float(negative_weight))
+                float(negative_weight), trust=trust)
         if self.sampler_backend == "device":
             num_partition = self.num_partition
             if num_partition in (auto, None):
@@ -686,7 +738,8 @@ class GraphSolver(SolverBase):
             arr = np.asarray(heads)
             heads, tails = arr[:, 0], arr[:, 1]
         model = GRAPH_MODELS[self.model or "LINE"]
-        fn = jax.jit(lambda v, c, h, t: _steps.graph_predict(model, v, c, h, t))
+        fn = jax.jit(lambda v, c, h, t: _steps.graph_predict(
+            model, v, c, h, t).astype(jnp.float32))
         return np.asarray(fn(self.state["tables"][0], self.state["tables"][1],
                              jnp.asarray(heads, jnp.int32),
                              jnp.asarray(tails, jnp.int32)))
@@ -765,8 +818,8 @@ class KnowledgeGraphSolver(SolverBase):
         else:
             raise ValueError(self.model)
         tables = (ent.astype(dt), rel.astype(dt))
-        moments = (self.optimizer.init_moments((ne, d), dt),
-                   self.optimizer.init_moments((nr, d), dt))
+        moments = (self.optimizer.init_moments((ne, d), "float32"),
+                   self.optimizer.init_moments((nr, d), "float32"))
         self.state = {"tables": tables, "moments": moments}
 
     def train(self, model="RotatE", num_epoch=2000, resume=False,
@@ -901,7 +954,7 @@ class KnowledgeGraphSolver(SolverBase):
         mdl = KG_MODELS[self.model]
         margin_or_l3 = self.margin if mdl.uses_margin else self.l3_regularization
         fn = jax.jit(lambda e, r, h, t, rr: _steps.kg_predict(
-            mdl, e, r, h, t, rr, margin_or_l3))
+            mdl, e, r, h, t, rr, margin_or_l3).astype(jnp.float32))
         out = []
         chunk = 1 << 20
         for i in range(0, arr.shape[0], chunk):
@@ -955,7 +1008,7 @@ class VisualizationSolver(SolverBase):
         coord = coord.astype(self.float_type.name)
         self.state = {"tables": (coord,),
                       "moments": (self.optimizer.init_moments(
-                          (v, self._pad_dim), self.float_type.name),)}
+                          (v, self._pad_dim), "float32"),)}
 
     @property
     def coordinates(self):
@@ -973,8 +1026,11 @@ class VisualizationSolver(SolverBase):
         weights = np.maximum(weights, 1e-12) ** negative_sample_exponent
         neg_table = AliasTable(weights)
         neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
+        import os as _os3
+        trust = float(_os3.environ.get("GRAPHVITE_TRUST", 0.25)) or None
         step_fn = _steps.make_vis_train_step(
-            LargeVis, self.optimizer, self.num_negative, float(negative_weight))
+            LargeVis, self.optimizer, self.num_negative,
+            float(negative_weight), trust=trust)
         if self.sampler_backend == "device":
             sampler = self._get_sampler(
                 ("edge",), lambda: DeviceEdgeSampler.build(self.graph))

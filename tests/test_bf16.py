@@ -1,0 +1,72 @@
+"""bfloat16 embedding tables as a product capability: tables are stored
+bf16 (half the HBM row traffic on the gather/scatter-bound steps), while
+moments and all scoring/gradient compute stay float32 (steps cast gathered
+rows up; optimizers cast applied deltas back down).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from graphvite_tpu.graph import Graph, KnowledgeGraph
+from graphvite_tpu.solver import GraphSolver, KnowledgeGraphSolver
+
+
+def _two_block_graph(seed=0):
+    rng = np.random.default_rng(seed)
+    edges = []
+    for blk in range(2):
+        nodes = np.arange(blk * 40, blk * 40 + 40)
+        for _ in range(400):
+            u, v = rng.choice(nodes, 2, replace=False)
+            edges.append((str(u), str(v)))
+    for _ in range(20):
+        edges.append((str(rng.integers(0, 40)),
+                      str(40 + rng.integers(0, 40))))
+    return Graph().load_edge_list(edges, as_undirected=True)
+
+
+def test_graph_solver_bf16_trains_and_separates():
+    g = _two_block_graph()
+    s = GraphSolver(dim=32, float_type="bfloat16", seed=0)
+    assert s.float_type.name == "bfloat16"
+    s.build(g, num_negative=1, batch_size=1024, episode_size=30)
+    s.train(model="LINE", num_epoch=200, augmentation_step=1,
+            negative_weight=1.0, log_frequency=10**9)
+    assert s.state["tables"][0].dtype == jnp.bfloat16
+    assert s.state["moments"] == ((), ())  # SGD
+    emb = s.vertex_embeddings
+    assert emb.dtype == np.float32  # host views widen
+    assert np.isfinite(emb).all()
+    n2i = g.name2id
+    intra = np.asarray([(n2i[str(a)], n2i[str(b)])
+                        for a in range(0, 20) for b in range(20, 40)])
+    cross = np.asarray([(n2i[str(a)], n2i[str(b)])
+                        for a in range(0, 20) for b in range(60, 80)])
+    si, sc = s.predict(intra), s.predict(cross)
+    assert si.dtype == np.float32
+    y = np.r_[np.ones(len(si)), np.zeros(len(sc))]
+    from graphvite_tpu.application import evaluate as ev
+    auc = ev.rank_sum_auc(np.r_[si, sc], y)
+    assert auc > 0.9, auc
+
+
+def test_kg_solver_bf16_moments_stay_f32():
+    rng = np.random.default_rng(1)
+    kg = KnowledgeGraph()
+    n, nr, e = 60, 4, 600
+    kg.num_vertex, kg.num_relation, kg.num_edge = n, nr, e
+    kg.entity2id = {str(i): i for i in range(n)}
+    kg.id2entity = [str(i) for i in range(n)]
+    kg.relation2id = {str(i): i for i in range(nr)}
+    kg.id2relation = [str(i) for i in range(nr)]
+    kg.edge_heads = rng.integers(0, n, e)
+    kg.edge_tails = rng.integers(0, n, e)
+    kg.edge_relations = rng.integers(0, nr, e)
+    kg.edge_weights = np.ones(e, np.float32)
+    s = KnowledgeGraphSolver(dim=32, float_type="bfloat16", seed=0)
+    s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=4,
+            batch_size=512, episode_size=10)
+    s.train(model="RotatE", num_epoch=20, margin=6.0, log_frequency=10**9)
+    assert s.state["tables"][0].dtype == jnp.bfloat16
+    for m in s.state["moments"][0]:
+        assert m.dtype == jnp.float32
+    assert np.isfinite(s.entity_embeddings).all()

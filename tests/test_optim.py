@@ -142,3 +142,39 @@ def test_schedule():
     assert float(opt.schedule_lr(0, 100)) == 1.0
     np.testing.assert_allclose(float(opt.schedule_lr(50, 100)), 0.5)
     np.testing.assert_allclose(float(opt.schedule_lr(1000, 100)), 1e-4)
+
+
+def test_sgd_trust_clip_bounds_accumulated_row():
+    """trust clips a row's ACCUMULATED per-batch displacement to
+    trust * (|row| + 1e-2); lightly-touched rows are exact (clip inactive).
+    This is the hub safety net for dense small graphs (a power-law batch
+    touches a hub row hundreds of times at one stale point — reproduced as
+    NaN divergence on the BlogCatalog-statistics clone)."""
+    import jax.numpy as jnp
+    from graphvite_tpu.optim import apply_row_updates
+
+    rng = np.random.default_rng(0)
+    V, D = 32, 8
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    opt = Optimizer(type="SGD", lr=1.0, weight_decay=0.0)
+    hub, cold = 3, 7
+    ids = jnp.asarray([hub] * 100 + [cold], jnp.int32)
+    grads = jnp.concatenate(
+        [jnp.tile(jnp.ones((1, D)), (100, 1)),           # coherent pile-up
+         jnp.full((1, D), 1e-3)]).astype(jnp.float32)
+    lr = jnp.float32(1.0)
+    trust = 0.25
+
+    clipped, _ = apply_row_updates(table, (), ids, grads, opt, lr,
+                                   trust=trust)
+    free, _ = apply_row_updates(table, (), ids, grads, opt, lr, trust=None)
+    moved = np.linalg.norm(np.asarray(clipped[hub] - table[hub]))
+    bound = trust * (np.linalg.norm(np.asarray(table[hub])) + 1e-2)
+    assert moved <= bound * (1 + 1e-5), (moved, bound)
+    # unclipped accumulation would have moved |sum g| = 100*sqrt(D)
+    assert np.linalg.norm(np.asarray(free[hub] - table[hub])) > 100
+    # cold row: tiny update far below its limit -> exact in both
+    np.testing.assert_allclose(np.asarray(clipped[cold]),
+                               np.asarray(free[cold]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(free[cold]),
+                               np.asarray(table[cold] - 1e-3), rtol=1e-5)

@@ -77,6 +77,7 @@ def generate(seed=0):
 
 def main():
     num_epoch = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    float_type = sys.argv[2] if len(sys.argv) > 2 else "float32"
     t0 = time.time()
     edges, labels = generate()
     rng = np.random.default_rng(1)
@@ -91,12 +92,17 @@ def main():
 
     g = Graph().load_edge_list(
         [(str(u), str(v)) for u, v in train_e], as_undirected=True)
-    solver = GraphSolver(dim=128)
+    solver = GraphSolver(dim=128, float_type=float_type)
     solver.build(g, num_negative=1, batch_size=100000, episode_size=500)
     solver.train(model="LINE", num_epoch=num_epoch, augmentation_step=2,
                  random_walk_length=40, negative_weight=5.0,
                  log_frequency=10**9)
     train_s = time.time() - t0
+    emb = solver.vertex_embeddings
+    if not np.isfinite(emb).all():
+        print(json.dumps({"error": "non-finite embeddings (diverged)"}),
+              flush=True)
+        sys.exit(1)
 
     # link prediction: held-out edges vs equal # of non-edges (the
     # quick-start split protocol, dataset.py link_prediction_split)
@@ -124,6 +130,7 @@ def main():
                                   labels[orig], 0.2, seed=0)
     print(json.dumps({
         "config": "demo/quick_start.yaml (BlogCatalog-statistics clone)",
+        "float_type": float_type,
         "auc": round(auc, 4),
         "micro_f1_20": round(f1["micro-F1@20%"], 4),
         "macro_f1_20": round(f1["macro-F1@20%"], 4),

@@ -656,6 +656,43 @@ def v_pool_step_stream_sorted():
     report("pool_step_stream_sorted", dt)
 
 
+def v_pool_step_solver_sweep():
+    """SOLVER-MATCHED pool step (graph_pool_groups(B) groups, not the
+    default 8) over a batch-size sweep: the scatter's table-scan component
+    (cost ~ V*D per scatter regardless of row count) amortizes with B, so
+    bigger batches may beat the 2 GB-derived default. bf16 tables too."""
+    h, t, nprob, nalias = edges()
+    ht = jnp.stack([h, t], axis=1)
+    for mult in (1, 2, 3, 4):
+        Bx = 162_560 * mult
+        n_slices = int(ht.shape[0]) // Bx
+        if n_slices < 1:
+            break
+        G = _steps.graph_pool_groups(Bx)
+        step = _steps.make_graph_pool_step(OPT, K, NEG_W, pool_groups=G)
+
+        def body(st, key, ht, nprob, nalias, Bx=Bx, n_slices=n_slices,
+                 step=step):
+            ks, kt = jax.random.split(key)
+            off = jax.random.randint(ks, (), 0, n_slices) * Bx
+            pair = jax.lax.dynamic_slice_in_dim(ht, off, Bx, axis=0)
+            st, loss = step(st, pair[:, 0], pair[:, 1], kt,
+                            jnp.float32(0.02), nprob, nalias)
+            return st, loss
+
+        ep = max(EP // mult, 4)
+        run = _scan_runner(body, n=ep)
+        for tag, cast in (("f32", None), ("bf16", jnp.bfloat16)):
+            st = make_state(jax.random.PRNGKey(0))
+            if cast is not None:
+                st = {"tables": tuple(x.astype(cast)
+                                      for x in st["tables"]),
+                      "moments": ((), ())}
+            dt, _ = chain_time(run, st, (ht, nprob, nalias))
+            report("pool_solver_%s_B%dk_G%d" % (tag, Bx // 1000, G), dt,
+                   batches_per_call=ep, samples=Bx)
+
+
 VARIANTS.update({
     "blocked_scatter": v_blocked_scatter,
     "rng_cost": v_rng_cost,
@@ -665,6 +702,7 @@ VARIANTS.update({
     "pool_step_stream": v_pool_step_stream,
     "pool_step_stream_bf16": v_pool_step_stream_bf16,
     "pool_step_stream_sorted": v_pool_step_stream_sorted,
+    "pool_step_solver_sweep": v_pool_step_solver_sweep,
 })
 
 
