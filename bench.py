@@ -86,10 +86,13 @@ def bench_kg():
 
     g = synthetic_kg()
     solver = KnowledgeGraphSolver(dim=dim)
+    # episode_size 50: chain batches inside one device call — a 1-batch
+    # episode pays a host round-trip per batch (~25 ms through the axon
+    # tunnel), which at the memory-capped KG batch would dominate
     solver.build(g, optimizer={"type": "Adam", "lr": 2.0e-4,
                                "weight_decay": 0},
                  num_negative=num_negative, batch_size=100000,
-                 episode_size=1)
+                 episode_size=50)
     # warmup (compile)
     solver.train(model="RotatE", num_epoch=1, margin=24,
                  adversarial_temperature=2, log_frequency=10**9)
@@ -109,9 +112,14 @@ def main():
     num_negative = int(os.environ.get("BENCH_NEG", "1"))
     batch_size = int(os.environ.get("BENCH_BATCH", "200000"))
     num_epoch = int(os.environ.get("BENCH_EPOCH", "40"))
+    # bfloat16 tables are the tuned TPU configuration: half the HBM traffic
+    # on the gather/scatter-bound step, f32 compute/moments; quality parity
+    # shown on the BlogCatalog-clone protocol (RESULTS.md: AUC 0.8723 bf16
+    # vs 0.8743 f32 vs reference 0.8999)
+    float_type = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     g = synthetic_graph()
-    solver = GraphSolver(dim=dim)
+    solver = GraphSolver(dim=dim, float_type=float_type)
     solver.build(g, num_negative=num_negative, batch_size=batch_size,
                  episode_size=50)
 
@@ -134,6 +142,7 @@ def main():
         "value": round(rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(rate / BASELINE_PER_GPU, 4),
+        "float_type": float_type,
     }
     if os.environ.get("BENCH_KG", "1") != "0":
         try:

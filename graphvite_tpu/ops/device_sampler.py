@@ -60,6 +60,21 @@ class DeviceEdgeSampler:
     8 bytes, so the per-batch edge-draw cost drops from ~2-3 ms (B random
     8-byte gathers at ~13 ns each, tools/microbench.py sample_packed) to
     noise (pool_step_stream vs pool_step: 12.0 vs 15.3 ms/batch).
+
+    SORTED stream (opt-in via GRAPHVITE_SORTED_STREAM=1): the
+    shuffled-and-padded stream is additionally stable-sorted by head id
+    before chunking, so every chunk is a contiguous slice of a globally
+    head-sorted array; sorting the sampled chunk ids (a ~160-element
+    sort) then yields a batch whose heads are globally sorted. In raw
+    microbenchmarks a pre-sorted scatter-add runs ~33% faster (PERF.md
+    access-pattern floors: 19.7 -> 13.2 ns/row), but measured END TO END
+    the full step got ~3% SLOWER (13.42M vs 13.83M samples/s, bf16
+    B=162k): inside the fused step the vertex scatter overlaps other
+    work, and the id sort + rotation eat the residue — so this stays
+    opt-in, kept for future scatter lowerings. Batch-level semantics are
+    unchanged either way: uniform chunks = uniform edges, the
+    within-step update is order-invariant, within-head tail order stays
+    random from the pre-sort shuffle.
     """
 
     STREAM_CHUNK = 1024
@@ -71,9 +86,10 @@ class DeviceEdgeSampler:
     uniform: bool
     with_rel: bool = False
     streamed: bool = False
+    sorted_stream: bool = False
 
     @classmethod
-    def build(cls, graph, with_relation=False):
+    def build(cls, graph, with_relation=False, sort_stream=None):
         w = np.asarray(graph.edge_weights)
         uniform = bool(w.size == 0 or np.all(w == w[0]))
         if uniform:
@@ -91,6 +107,11 @@ class DeviceEdgeSampler:
         n_edge = int(packed.shape[0])
         C = cls.STREAM_CHUNK
         streamed = uniform and n_edge >= C * cls.MIN_STREAM_BLOCKS
+        if sort_stream is None:
+            import os
+            sort_stream = os.environ.get(
+                "GRAPHVITE_SORTED_STREAM", "0") != "0"
+        sorted_stream = bool(streamed and sort_stream)
         if streamed:
             rng = np.random.default_rng(0x5eed ^ n_edge)
             packed = packed[rng.permutation(n_edge)]
@@ -100,6 +121,9 @@ class DeviceEdgeSampler:
                 # the padded edges is negligible
                 packed = np.concatenate(
                     [packed, packed[rng.integers(0, n_edge, pad)]])
+            if sorted_stream:
+                # stable: within-head order stays randomly shuffled
+                packed = packed[np.argsort(packed[:, 0], kind="stable")]
             packed = packed.reshape(-1, C, packed.shape[1])
         return cls(
             edges=jnp.asarray(packed),
@@ -108,6 +132,7 @@ class DeviceEdgeSampler:
             uniform=uniform,
             with_rel=with_relation,
             streamed=streamed,
+            sorted_stream=sorted_stream,
         )
 
     def arrays(self):
@@ -117,6 +142,7 @@ class DeviceEdgeSampler:
         with_rel = self.with_rel
         uniform = self.uniform
         streamed = self.streamed
+        sorted_stream = self.sorted_stream
         n_edge = self.num_edge
         C = self.STREAM_CHUNK
 
@@ -124,7 +150,21 @@ class DeviceEdgeSampler:
             if streamed:
                 nb = -(-batch_size // C)
                 bid = jax.random.randint(key, (nb,), 0, edges.shape[0])
-                row = edges[bid].reshape(nb * C, -1)[:batch_size]
+                if sorted_stream:
+                    # chunks are disjoint slices of a head-sorted array, so
+                    # chunk-id order == globally head-sorted batch
+                    bid = jnp.sort(bid)
+                row = edges[bid].reshape(nb * C, -1)
+                if sorted_stream and batch_size % C:
+                    # truncating a sorted batch would always drop the
+                    # highest head ids (the walk-sampler truncation bias of
+                    # ADVICE round 1); rotate by a uniform offset so every
+                    # row is dropped with equal probability. Leaves two
+                    # sorted runs — scatter keeps most of the benefit.
+                    shift = jax.random.randint(
+                        jax.random.fold_in(key, 1), (), 0, nb * C)
+                    row = jnp.roll(row, -shift, axis=0)
+                row = row[:batch_size]
             elif uniform:
                 eid = jax.random.randint(key, (batch_size,), 0, n_edge)
                 row = edges[eid]                 # one gather of [B, 2|3]

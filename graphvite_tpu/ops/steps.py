@@ -240,21 +240,27 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
 
         v_counts = v_sqs = c_counts = c_sqs = None
         if opt.num_moment > 0:
-            # per-touch semantics: v touched 1 + M times per sample, c once,
-            # each pool row once per group sample
-            v_counts = jnp.full((b,), M + 1, jnp.float32)
+            # EMULATED K-draw touch counts (see make_vis_pool_step): the
+            # moment rules' displacement is lr * count, so the counts must
+            # reflect the K-draw scheme being emulated (v: K+1, c: 1, pool
+            # row: Bg*K/M expected draws), and summed squared gradients
+            # rescale by M/K (per-draw grad = M/K * per-term grad)
+            sq_scale = M / max(k, 1)
+            v_counts = jnp.full((b,), k + 1, jnp.float32)
             v_sqs = ((gpos[..., None] * c) ** 2
-                     + jnp.einsum("gbm,gmd->gbd", gneg ** 2, P ** 2,
-                                  preferred_element_type=jnp.float32)
+                     + sq_scale * jnp.einsum(
+                         "gbm,gmd->gbd", gneg ** 2, P ** 2,
+                         preferred_element_type=jnp.float32)
                      ).reshape(b, -1)
-            p_counts = jnp.full((G, M), float(bg), jnp.float32)
+            p_counts = jnp.full((G, M), bg * k / M, jnp.float32)
             if m2 is not None:
                 p_counts = jnp.broadcast_to(
-                    jnp.sum(m2, axis=1)[:, None], (G, M))
+                    jnp.sum(m2, axis=1)[:, None] * (k / M), (G, M))
             c_counts = jnp.concatenate(
                 [jnp.ones((b,), jnp.float32), p_counts.reshape(-1)])
-            p_sqs = jnp.einsum("gbm,gbd->gmd", gneg ** 2, v ** 2,
-                               preferred_element_type=jnp.float32)
+            p_sqs = sq_scale * jnp.einsum(
+                "gbm,gbd->gmd", gneg ** 2, v ** 2,
+                preferred_element_type=jnp.float32)
             c_sqs = jnp.concatenate(
                 [(dc ** 2).reshape(b, -1), p_sqs.reshape(G * M, -1)])
 
@@ -495,6 +501,141 @@ def make_vis_train_step(model, opt: Optimizer, num_negative: int,
             mean_loss = jnp.mean(sample_loss)
         else:
             mean_loss = jnp.sum(sample_loss) / jnp.maximum(jnp.sum(mask), 1.0)
+        return ({"tables": (new_coord,), "moments": (new_moms,)},
+                mean_loss)
+
+    return step
+
+
+def make_vis_pool_step(opt: Optimizer, num_negative: int,
+                       negative_weight: float, pool_size: int = 256,
+                       pool_groups: int = 8, trust: float = 0.25):
+    """Shared-negative-pool LargeVis step (the make_graph_pool_step
+    structure applied to the student-t kernel, gpu/visualization.cuh:38-240).
+
+    Negatives are the dominant row traffic of the classic step
+    (B*(K+1) of B*(K+2) row touches at K=5); each of `pool_groups` groups
+    draws ONE pool of `pool_size` rows and every sample scores the whole
+    pool through pairwise squared distances ||h||^2 + ||P||^2 - 2 h.P —
+    an MXU matmul — weighted negative_weight * K / pool_size per pool
+    entry so the expected negative gradient mass per sample matches the
+    K-draw kernel. Row traffic per batch drops from B*(2+K) entries to
+    2B + G*M, and with the dense small-table path every update lands in
+    ONE wide scatter (optim._apply_row_updates_dense)."""
+    k = num_negative
+    M = int(pool_size)
+    G = int(pool_groups)
+    neg_w = float(negative_weight) * k / M
+    SMOOTH = 0.1  # gpu/visualization.cuh:29
+
+    def step(state, heads, tails, key, lr, *neg_state, mask=None):
+        (coord,) = state["tables"]
+        (moms,) = state["moments"]
+        b = heads.shape[0]
+        assert b % G == 0, "batch must divide pool_groups"
+        bg = b // G
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (G, M))
+        u2 = jax.random.uniform(k2, (G, M))
+        pool_ids = device_sample(*neg_state, u1, u2)          # [G, M]
+
+        h = coord[heads].reshape(G, bg, -1).astype(jnp.float32)
+        t = coord[tails].reshape(G, bg, -1).astype(jnp.float32)
+        P = coord[pool_ids].astype(jnp.float32)               # [G, M, D]
+
+        d = h - t
+        x_pos = jnp.sum(d * d, axis=-1)                       # [G, Bg]
+        gpos = 2.0 / (1.0 + x_pos)                            # 2 * prob
+        hh = jnp.sum(h * h, axis=-1)                          # [G, Bg]
+        pp = jnp.sum(P * P, axis=-1)                          # [G, M]
+        x = (hh[:, :, None] + pp[:, None, :]
+             - 2.0 * jnp.einsum("gbd,gmd->gbm", h, P,
+                                preferred_element_type=jnp.float32))
+        x = jnp.maximum(x, 0.0)                               # fp cancellation
+        prob = 1.0 / (1.0 + x)
+        gneg = -2.0 * prob / (x + SMOOTH) * neg_w             # [G, Bg, M]
+        if mask is not None:
+            m2 = mask.reshape(G, bg)
+            gpos = gpos * m2
+            gneg = gneg * m2[..., None]
+            n_active = jnp.sum(mask)
+        else:
+            m2 = None
+            n_active = jnp.float32(b)
+
+        # loss on the K-draw scale (matches make_vis_train_step)
+        log1px = jnp.log1p(x)
+        loss_terms = (jnp.log1p(x_pos)
+                      + neg_w * jnp.sum(log1px - jnp.log(x + EPSILON),
+                                        axis=-1))
+        if m2 is not None:
+            loss_terms = loss_terms * m2
+        mean_loss = (jnp.sum(loss_terms) / jnp.maximum(n_active, 1.0)
+                     / (1.0 + k * negative_weight))
+
+        wd = opt.weight_decay
+        gneg_sum = jnp.sum(gneg, axis=-1)                     # [G, Bg]
+        gnegP = jnp.einsum("gbm,gmd->gbd", gneg, P,
+                           preferred_element_type=jnp.float32)
+        dh = (gpos[..., None] * d + gneg_sum[..., None] * h - gnegP
+              + wd * (1.0 + M * neg_w) * h)
+        dt = -gpos[..., None] * d + wd * t
+        gnegT_sum = jnp.sum(gneg, axis=1)                     # [G, M]
+        gnegTh = jnp.einsum("gbm,gbd->gmd", gneg, h,
+                            preferred_element_type=jnp.float32)
+        dP = (gnegT_sum[..., None] * P - gnegTh
+              + wd * (neg_w * bg) * P)
+
+        counts = sqs = None
+        if opt.num_moment > 0:
+            # EMULATED K-draw touch counts: moment-rule displacement is
+            # lr * count (optim.moment_delta), so counts must reflect the
+            # K-draw scheme this step emulates, not the M pool terms it
+            # computes with — count = M+1 made Adam move head rows ~lr*257
+            # per batch and diverge. h: K+1 draws; t: 1; pool row:
+            # Bg*K/M expected draws. Per-draw grad = (M/K) * per-term grad,
+            # so summed squares rescale by M/K.
+            sq_scale = M / max(k, 1)
+            g2 = gneg * gneg
+            g2_sum = jnp.sum(g2, axis=-1)
+            h_neg_sqs = (g2_sum[..., None] * (h * h)
+                         - 2.0 * h * jnp.einsum(
+                             "gbm,gmd->gbd", g2, P,
+                             preferred_element_type=jnp.float32)
+                         + jnp.einsum("gbm,gmd->gbd", g2, P * P,
+                                      preferred_element_type=jnp.float32))
+            h_sqs = (gpos[..., None] * d) ** 2 + sq_scale * h_neg_sqs
+            t_sqs = (gpos[..., None] * d) ** 2
+            g2T_sum = jnp.sum(g2, axis=1)                     # [G, M]
+            p_sqs = sq_scale * (
+                g2T_sum[..., None] * (P * P)
+                - 2.0 * P * jnp.einsum("gbm,gbd->gmd", g2, h,
+                                       preferred_element_type=jnp.float32)
+                + jnp.einsum("gbm,gbd->gmd", g2, h * h,
+                             preferred_element_type=jnp.float32))
+            p_counts = jnp.full((G, M), bg * k / M, jnp.float32)
+            if m2 is not None:
+                p_counts = jnp.broadcast_to(
+                    jnp.sum(m2, axis=1)[:, None] * (k / M), (G, M))
+            counts = jnp.concatenate(
+                [jnp.full((b,), k + 1, jnp.float32),
+                 jnp.ones((b,), jnp.float32),
+                 p_counts.reshape(-1)])
+            # squared-gradient sums are nonnegative by construction; the
+            # expanded (a-b)^2 forms can go slightly negative in fp
+            sqs = jnp.maximum(jnp.concatenate(
+                [h_sqs.reshape(b, -1), t_sqs.reshape(b, -1),
+                 p_sqs.reshape(G * M, -1)]), 0.0)
+
+        ids = jnp.concatenate(
+            [_mask_ids(heads, mask, coord.shape[0]),
+             _mask_ids(tails, mask, coord.shape[0]),
+             pool_ids.reshape(-1)])
+        grads = jnp.concatenate(
+            [dh.reshape(b, -1), dt.reshape(b, -1), dP.reshape(G * M, -1)])
+        new_coord, new_moms = apply_row_updates(coord, moms, ids, grads, opt,
+                                                lr, entry_counts=counts,
+                                                entry_sqs=sqs, trust=trust)
         return ({"tables": (new_coord,), "moments": (new_moms,)},
                 mean_loss)
 

@@ -238,10 +238,14 @@ def dedup_rows(ids, grads, entry_counts=None, entry_sqs=None):
 
 
 # tables up to this many elements use the dense accumulate path for moment
-# optimizers: 3 scatter-adds + a dense moment pass beat the sort-based dedup
-# chain, whose argsort + row-permute + segment-sums price narrow rows
-# (LargeVis dim 2-8) at ~30ms/batch on v5e
-DENSE_UPDATE_ELEMS = 1 << 24
+# optimizers: ONE fused wide scatter-add + a dense moment pass beat the
+# sort-based dedup chain, whose argsort + row-permute + segment-sums price
+# narrow rows (LargeVis dim 2-8) at ~30ms/batch and wide rows (FB15k dim
+# 2048: permuting [33k, 2048] grads is 270MB of row traffic) at ~46ms on
+# v5e. The dense pass costs ~3 table read-writes, trivial up to a few
+# hundred MB; beyond that (e.g. 1M-vertex graphs, 5M-entity KGs) touch
+# densities are sparse and the dedup chain wins.
+DENSE_UPDATE_ELEMS = 1 << 26
 
 
 def _apply_row_updates_dense(table, moments, ids, reg_grads, opt: Optimizer,
@@ -250,15 +254,20 @@ def _apply_row_updates_dense(table, moments, ids, reg_grads, opt: Optimizer,
     ONE vectorized moment update on touched rows. No sort, no permute —
     the [V, D] passes are trivial for small tables, and scatter-adds are
     update-count-bound."""
-    v = table.shape[0]
+    v, d = table.shape
     f32 = jnp.float32
     g32 = reg_grads.astype(f32)
-    gsum = jnp.zeros(table.shape, f32).at[ids].add(g32, mode="drop")
     sq = g32 * g32 if entry_sqs is None else entry_sqs.astype(f32)
-    gsq = jnp.zeros(table.shape, f32).at[ids].add(sq, mode="drop")
     cnt = (jnp.ones(ids.shape, f32) if entry_counts is None
            else entry_counts.astype(f32))
-    counts = jnp.zeros((v,), f32).at[ids].add(cnt, mode="drop")
+    # ONE wide scatter for gsum|gsq|count: scatter-add cost on v5e is
+    # per-row-op bound, not byte bound (PERF.md access-pattern floors), so
+    # three N-row scatters fuse into one N-row scatter at 2D+1 width
+    acc = jnp.zeros((v, 2 * d + 1), f32).at[ids].add(
+        jnp.concatenate([g32, sq, cnt[:, None]], axis=1), mode="drop")
+    gsum = acc[:, :d]
+    gsq = acc[:, d:2 * d]
+    counts = acc[:, 2 * d]
     touched = counts > 0
     c = jnp.maximum(counts, 1.0)[:, None]
     delta, new_moments = moment_delta(opt, lr, gsum, moments, c, gsq)

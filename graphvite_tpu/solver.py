@@ -1017,7 +1017,7 @@ class VisualizationSolver(SolverBase):
     def train(self, model="LargeVis", num_epoch=50, resume=False,
               sample_batch_size=2000, positive_reuse=5,
               negative_sample_exponent=0.75, negative_weight=5.0,
-              log_frequency=1000):
+              negative_sharing=auto, log_frequency=1000):
         self.model = "LargeVis"
         if not resume or self.state is None or self.batch_id == 0:
             self.init_embeddings()
@@ -1028,15 +1028,29 @@ class VisualizationSolver(SolverBase):
         neg_state = tuple(jnp.asarray(a) for a in device_alias_arrays(neg_table))
         import os as _os3
         trust = float(_os3.environ.get("GRAPHVITE_TRUST", 0.25)) or None
-        step_fn = _steps.make_vis_train_step(
-            LargeVis, self.optimizer, self.num_negative,
-            float(negative_weight), trust=trust)
+        if negative_sharing in (auto, None):
+            negative_sharing = _os3.environ.get(
+                "GRAPHVITE_NEG_SHARING", "1") != "0"
+        if negative_sharing:
+            pool_batch = (self._batch_plan()[1]
+                          if self.sampler_backend == "device"
+                          else self.batch_size)
+            pool_groups = _steps.graph_pool_groups(pool_batch)
+            step_fn = _steps.make_vis_pool_step(
+                self.optimizer, self.num_negative, float(negative_weight),
+                pool_groups=pool_groups, trust=trust)
+        else:
+            pool_groups = 0
+            step_fn = _steps.make_vis_train_step(
+                LargeVis, self.optimizer, self.num_negative,
+                float(negative_weight), trust=trust)
         if self.sampler_backend == "device":
             sampler = self._get_sampler(
                 ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
             cache_key = ("vis", self.optimizer, self.num_negative,
                          float(negative_weight),
-                         float(negative_sample_exponent))
+                         float(negative_sample_exponent),
+                         bool(negative_sharing), pool_groups)
             self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
                                     positive_reuse, log_frequency, False,
                                     cache_key)

@@ -190,3 +190,86 @@ def test_kg_external_pool_matches_standard_step():
     np.testing.assert_allclose(np.asarray(ent3),
                                np.asarray(want_state["tables"][0]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_vis_pool_step_gradients_match_autodiff():
+    """make_vis_pool_step's hand gradients must equal jax.grad of the
+    explicit pooled LargeVis loss surrogate (wd=0, SGD so moment stats are
+    out of the picture)."""
+    rng = np.random.default_rng(3)
+    V, D, B, K = 40, 8, 16, 5
+    M, G = 4, 2
+    neg_weight = 3.0
+    opt = Optimizer(type="SGD", lr=0.1, weight_decay=0.0)
+    step = _steps.make_vis_pool_step(opt, K, neg_weight, pool_size=M,
+                                     pool_groups=G, trust=None)
+    coord = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    neg_state = _uniform_alias_state(V)
+    key = jax.random.PRNGKey(5)
+    lr = jnp.float32(0.1)
+    state = {"tables": (coord,), "moments": ((),)}
+    new_state, loss = step(state, heads, tails, key, lr, *neg_state)
+
+    from graphvite_tpu.ops.alias import device_sample
+    k1, _ = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (G, M))
+    u2 = jax.random.uniform(jax.random.split(key)[1], (G, M))
+    pool_ids = device_sample(*neg_state, u1, u2)
+
+    SMOOTH = 0.1
+    neg_w = neg_weight * K / M
+
+    def surrogate(table):
+        # gradient-equivalent objective: d/dx of log1p(x) = prob for the
+        # positive term; the negative per-pool-entry gradient is
+        # -2 prob/(x+SMOOTH) whose primitive is prob-free; integrate by
+        # construction: use stop-gradient factors
+        h = table[heads].reshape(G, B // G, D)
+        t = table[tails].reshape(G, B // G, D)
+        P = table[pool_ids]
+        d = h - t
+        x_pos = jnp.sum(d * d, axis=-1)
+        pos = jnp.log1p(x_pos)
+        x = jnp.sum((h[:, :, None, :] - P[:, None, :, :]) ** 2, axis=-1)
+        prob = 1.0 / (1.0 + x)
+        # term with gradient -2 prob/(x+SMOOTH): integrate via
+        # stop_gradient on the non-x factor is wrong; instead build the
+        # loss whose derivative matches: use f(x) with f'(x) =
+        # -2/( (1+x)(x+SMOOTH) ); implement via custom surrogate
+        # g*x with g = stop_gradient of the true gradient
+        # the kernel convention applies gradient * (h - P) = g * dx/2, so
+        # the surrogate integrates g * x / 2
+        gfac = jax.lax.stop_gradient(-2.0 * prob / (x + SMOOTH))
+        neg = 0.5 * gfac * x
+        return jnp.sum(pos) + neg_w * jnp.sum(neg)
+
+    want = jax.grad(surrogate)(coord)
+    got = (coord - new_state["tables"][0]) / lr
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_vis_pool_step_adam_counts_stay_stable():
+    """With Adam (the vis default), repeated pooled steps must not diverge:
+    the emulated K-draw touch counts bound per-batch displacement to the
+    classic kernel's lr*(K+1) scale (regression for the count=M+1 NaN)."""
+    rng = np.random.default_rng(0)
+    V, D, B, K = 200, 8, 128, 5
+    opt = Optimizer(type="Adam", lr=0.5, weight_decay=1e-5)
+    step = _steps.make_vis_pool_step(opt, K, 5.0, pool_size=32,
+                                     pool_groups=4)
+    coord = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 1e-4)
+    moms = tuple(jnp.zeros((V, D), jnp.float32) for _ in range(2))
+    state = {"tables": (coord,), "moments": (moms,)}
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    neg_state = _uniform_alias_state(V)
+    jstep = jax.jit(step)
+    for i in range(40):
+        state, loss = jstep(state, heads, tails, jax.random.PRNGKey(i),
+                            jnp.float32(0.5), *neg_state)
+    assert np.isfinite(float(loss))
+    final = np.asarray(state["tables"][0])
+    assert np.all(np.isfinite(final))
