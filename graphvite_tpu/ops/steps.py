@@ -431,6 +431,225 @@ def make_kg_train_step(model, opt: Optimizer, num_negative: int,
     return step
 
 
+def kg_pool_groups(batch_size: int, target_group: int = 512,
+                   lo: int = 2, hi: int = 1024):
+    """Group count for the pooled KG step: bounds the per-group sample
+    count Bg so a shared candidate row's emulated touch count (Bg * K / M)
+    stays near the staleness bound. Always even (half the groups corrupt
+    heads, half tails)."""
+    g = lo
+    while g < hi and batch_size // g > target_group:
+        g *= 2
+    while (batch_size % g or g % 2) and g > 2:
+        g //= 2
+    return max(g, 2)
+
+
+def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
+                      margin_or_l3: float, adversarial_temperature: float,
+                      relation_lr_multiplier: float, pool_size: int = 0,
+                      pool_groups: int = 8, trust: float = 0.25):
+    """Shared-negative-pool KG step with MIXED-side pools.
+
+    Two structural changes vs make_kg_train_step, both measured on a
+    device trace of RotatE dim-2048 (PERF.md round-2):
+
+    1. The classic step mixes head/tail corruption per draw
+       (gpu/knowledge_graph.cuh:65-69), which on a batched backend forces
+       [B, K+1, D] concat + select chains (~8 ms/batch at dim 2048) to
+       assemble the (h, t) pair per subsample. Here each group of Bg
+       samples shares ONE pool of M candidate rows, the first M/2 slots
+       scoring as head corruptions and the rest as tail corruptions — the
+       negative scoring becomes two clean broadcasts, score(cand, t) and
+       score(h, cand), with no per-draw selects, while each sample's
+       self-adversarial softmax still normalizes over a MIXED candidate
+       set exactly like the reference's uniform-over-2V draw.
+
+    2. Candidate gather/scatter drops from B*K rows to G*M — at dim 2048
+       the B*K-entry dense-accumulator build + scatter was ~10 ms/batch,
+       the single largest cost.
+
+    Emulated K-draw touch counts (each pool slot stands for K/M draws per
+    active sample; positive rows get 1 + K/2) and M/K-rescaled
+    squared-gradient sums follow make_vis_pool_step. Trust-ratio clip on
+    the accumulated candidate-row displacement mirrors
+    make_graph_pool_step's pool clip (inactive under moment rules).
+    """
+    k = num_negative
+    M = int(pool_size) if pool_size else max(int(num_negative), 16)
+    M += M % 2
+    G = int(pool_groups)
+    M2 = M // 2
+    uses_margin = bool(getattr(model, "uses_margin", False))
+    bw_hyper = margin_or_l3 if uses_margin else 0.0
+    l3 = 0.0 if uses_margin else margin_or_l3
+    sq_scale = M / max(k, 1)
+
+    def _reg(p, wd):
+        r = wd * p
+        if not uses_margin and l3:
+            r = r + (3.0 * l3) * jnp.abs(p) * p
+        return r
+
+    def step(state, heads, tails, rels, key, lr, mask=None):
+        entity, relation = state["tables"]
+        e_moms, r_moms = state["moments"]
+        b = heads.shape[0]
+        num_entity = entity.shape[0]
+        assert b % G == 0, "batch must divide pool_groups"
+        bg = b // G
+        wd = opt.weight_decay
+        f32 = jnp.float32
+
+        maskf = None if mask is None else mask.astype(f32)
+        cand_ids = jax.random.randint(key, (G, M), 0, num_entity)
+
+        # ---- positive pairs: one [b, D]-wide pass, no K dimension ------
+        h_pos = entity[heads].astype(f32)
+        t_pos = entity[tails].astype(f32)
+        r_pos = relation[rels].astype(f32)
+        pos_logit = model.score(h_pos, t_pos, r_pos, margin_or_l3)
+        g_pos = jax.nn.sigmoid(pos_logit) - 1.0
+        pos_loss = jax.nn.softplus(-pos_logit)
+        if maskf is not None:
+            g_pos = g_pos * maskf
+            pos_loss = pos_loss * maskf
+        # backward(margin_or_l3) already includes the l3 term; add only wd
+        ghp, gtp, grp = model.backward(h_pos, t_pos, r_pos, g_pos,
+                                       margin_or_l3)
+        wp = 1.0 if maskf is None else maskf[:, None]
+        reg_hp = ghp + wp * (wd * h_pos)
+        reg_tp = gtp + wp * (wd * t_pos)
+        reg_rp = grp + wp * (wd * r_pos)
+
+        def body(carry, xs):
+            h_g, t_g, r_g, cand_g, m_g = xs
+            h = entity[h_g].astype(f32)                      # [Bg, D]
+            t = entity[t_g].astype(f32)
+            r = relation[r_g].astype(f32)
+            cand = entity[cand_g].astype(f32)                # [M, D]
+            ch = cand[:M2][None, :, :]                       # head-corrupt
+            ct = cand[M2:][None, :, :]                       # tail-corrupt
+            lg_h = model.score(ch, t[:, None, :], r[:, None, :],
+                               margin_or_l3)                 # [Bg, M2]
+            lg_t = model.score(h[:, None, :], ct, r[:, None, :],
+                               margin_or_l3)
+            logits = jnp.concatenate([lg_h, lg_t], axis=-1)  # [Bg, M]
+            # self-adversarial weights (softmax per sample over the MIXED
+            # pool, stale-normalizer clip kept for parity,
+            # gpu/knowledge_graph.cuh:59-78); else uniform mass 1
+            if adversarial_temperature > EPSILON:
+                w = jax.nn.softmax(logits / adversarial_temperature,
+                                   axis=-1)
+                w = jnp.minimum(w, 1.0)
+            else:
+                w = jnp.full_like(logits, 1.0 / M)
+            if m_g is not None:
+                w = w * m_g[:, None]
+            loss_neg = jnp.sum(w * jax.nn.softplus(logits), axis=-1)
+            gn = jax.nn.sigmoid(logits) * w                  # [Bg, M]
+            gn_h, gn_t = gn[:, :M2], gn[:, M2:]
+            gc_h, gs_h, gr_h = model.backward(
+                ch, t[:, None, :], r[:, None, :], gn_h, bw_hyper)
+            gs_t, gc_t, gr_t = model.backward(
+                h[:, None, :], ct, r[:, None, :], gn_t, bw_hyper)
+            # per-entry regularized grads ([Bg, M2, D]); weights fold into
+            # gn already, the reg terms scale by w per touch
+            w_h = w[:, :M2, None]
+            w_t = w[:, M2:, None]
+            reg_ch = gc_h + w_h * _reg(ch, wd)
+            reg_ct = gc_t + w_t * _reg(ct, wd)
+            reg_sh = gs_h + w_h * _reg(t[:, None, :], wd)    # tail stays
+            reg_st = gs_t + w_t * _reg(h[:, None, :], wd)    # head stays
+            rel_h = gr_h + w_h * _reg(r[:, None, :], wd)
+            rel_t = gr_t + w_t * _reg(r[:, None, :], wd)
+            outs = {
+                "cand": jnp.concatenate(
+                    [jnp.sum(reg_ch, axis=0), jnp.sum(reg_ct, axis=0)]),
+                "head": jnp.sum(reg_st, axis=1),             # [Bg, D]
+                "tail": jnp.sum(reg_sh, axis=1),
+                "rel": jnp.sum(rel_h, axis=1) + jnp.sum(rel_t, axis=1),
+                "loss": loss_neg,
+                # active-sample count (touch counts must NOT be
+                # weight-scaled: the reference counts each draw as one
+                # optimizer touch however small its adversarial weight)
+                "msum": (jnp.float32(bg) if m_g is None
+                         else jnp.sum(m_g)),
+            }
+            if opt.num_moment > 0:
+                outs["cand_sqs"] = sq_scale * jnp.concatenate(
+                    [jnp.sum(reg_ch * reg_ch, axis=0),
+                     jnp.sum(reg_ct * reg_ct, axis=0)])
+                outs["head_sqs"] = sq_scale * jnp.sum(reg_st * reg_st,
+                                                      axis=1)
+                outs["tail_sqs"] = sq_scale * jnp.sum(reg_sh * reg_sh,
+                                                      axis=1)
+                outs["rel_sqs"] = sq_scale * (
+                    jnp.sum(rel_h * rel_h, axis=1)
+                    + jnp.sum(rel_t * rel_t, axis=1))
+            return carry, outs
+
+        xs = (heads.reshape(G, bg), tails.reshape(G, bg),
+              rels.reshape(G, bg), cand_ids,
+              None if maskf is None else maskf.reshape(G, bg))
+        _, outs = jax.lax.scan(body, 0, xs)
+
+        # ---- assemble entity updates -----------------------------------
+        head_grad = reg_hp + outs["head"].reshape(b, -1)
+        tail_grad = reg_tp + outs["tail"].reshape(b, -1)
+        cand_grad = outs["cand"].reshape(G * M, -1)
+        if trust is not None:
+            # a shared candidate row accumulates Bg coherent sample
+            # gradients at one stale point (make_graph_pool_step note)
+            dnorm = jnp.linalg.norm(cand_grad, axis=-1, keepdims=True)
+            crows = entity[cand_ids.reshape(-1)].astype(f32)
+            limit = (trust * (jnp.linalg.norm(crows, axis=-1,
+                                              keepdims=True) + 1e-2)
+                     / jnp.maximum(lr, EPSILON))
+            cand_grad = cand_grad * jnp.minimum(
+                1.0, limit / jnp.maximum(dnorm, EPSILON))
+        ent_ids = jnp.concatenate(
+            [_mask_ids(heads, mask, num_entity),
+             _mask_ids(tails, mask, num_entity),
+             cand_ids.reshape(-1)])
+        ent_grads = jnp.concatenate([head_grad, tail_grad, cand_grad])
+        rel_grad = reg_rp + outs["rel"].reshape(b, -1)
+
+        ent_counts = ent_sqs = r_counts = r_sqs = None
+        if opt.num_moment > 0:
+            kf = float(k)
+            # positives: 1 own touch + K/2 expected stay-side touches
+            pos_cnt = jnp.full((2 * b,), 1.0 + kf / 2.0, f32)
+            # each pool slot stands for msum * K / M emulated draws
+            cand_cnt = jnp.repeat(outs["msum"] * (kf / M), M)
+            ent_counts = jnp.concatenate([pos_cnt, cand_cnt])
+            h_sqs = reg_hp * reg_hp + outs["head_sqs"].reshape(b, -1)
+            t_sqs = reg_tp * reg_tp + outs["tail_sqs"].reshape(b, -1)
+            cand_sqs = outs["cand_sqs"].reshape(G * M, -1)
+            ent_sqs = jnp.concatenate([h_sqs, t_sqs, cand_sqs])
+            r_counts = jnp.full((b,), kf + 1.0, f32)
+            r_sqs = reg_rp * reg_rp + outs["rel_sqs"].reshape(b, -1)
+
+        new_entity, new_e_moms = apply_row_updates(
+            entity, e_moms, ent_ids, ent_grads, opt, lr,
+            entry_counts=ent_counts, entry_sqs=ent_sqs)
+        new_relation, new_r_moms = apply_row_updates(
+            relation, r_moms, _mask_ids(rels, mask, relation.shape[0]),
+            rel_grad, opt, lr, lr_scale=relation_lr_multiplier,
+            entry_counts=r_counts, entry_sqs=r_sqs)
+        new_state = {"tables": (new_entity, new_relation),
+                     "moments": (new_e_moms, new_r_moms)}
+        sample_loss = (pos_loss + outs["loss"].reshape(b)) / 2.0
+        if mask is None:
+            mean_loss = jnp.mean(sample_loss)
+        else:
+            mean_loss = jnp.sum(sample_loss) / jnp.maximum(jnp.sum(mask),
+                                                           1.0)
+        return new_state, mean_loss
+
+    return step
+
+
 def kg_predict(model, entity, relation, heads, tails, rels, margin_or_l3):
     return model.score(entity[heads], entity[tails], relation[rels], margin_or_l3)
 

@@ -298,7 +298,13 @@ class SolverBase:
         live at once; a scan chunk would not reduce peak footprint of the
         enclosing sampler pools), staleness no longer does."""
         import os as _os
-        live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
+        if getattr(self, "_pooled_step", False):
+            # shared-negative pools decouple K from per-sample live bytes:
+            # the [Bg, M, D] chains live one scan group at a time, and the
+            # per-sample residue is ~16 stacked [B, D] output tensors
+            live_bytes = 16 * self.dim * 4
+        else:
+            live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
         budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
         mem_cap = max(int(budget / max(live_bytes, 1)), 512)
         # round to a multiple of 256 (small batches: 8) so the
@@ -825,7 +831,8 @@ class KnowledgeGraphSolver(SolverBase):
     def train(self, model="RotatE", num_epoch=2000, resume=False,
               relation_lr_multiplier=1.0, margin=12.0, l3_regularization=2e-3,
               sample_batch_size=2000, positive_reuse=1,
-              adversarial_temperature=2.0, log_frequency=100):
+              adversarial_temperature=2.0, negative_sharing=auto,
+              log_frequency=100):
         if model not in self.get_available_models():
             raise ValueError("unknown model `%s`" % model)
         self.model = model
@@ -843,9 +850,48 @@ class KnowledgeGraphSolver(SolverBase):
                                      float(relation_lr_multiplier),
                                      log_frequency)
             return
-        step_fn = _steps.make_kg_train_step(
-            mdl, self.optimizer, self.num_negative, margin_or_l3,
-            self.adversarial_temperature, float(relation_lr_multiplier))
+        import os as _os2
+        if negative_sharing in (auto, None):
+            # auto-rule: shared pools pay where the classic per-draw step
+            # cannot run (its [B, K+1, D] intermediates cap the micro-batch
+            # at GRAPHVITE_STEP_BYTES / ((K+2)*D*32) — near ~1k samples
+            # per step the dense-accumulator scan and fixed overheads
+            # dominate, PERF.md KG trace: 14.9k triplets/s at dim 2048).
+            # Where classic fits (the shipped demo/benchmark configs up to
+            # dim 512 x K=64), it keeps exact per-sample-negative
+            # reference semantics and slightly better quality (math
+            # fixture dim 128: MRR 0.664 classic vs 0.585 pooled), so it
+            # stays the default there.
+            env = _os2.environ.get("GRAPHVITE_KG_NEG_SHARING")
+            if env is not None:
+                negative_sharing = env != "0"
+            else:
+                budget = float(_os2.environ.get("GRAPHVITE_STEP_BYTES",
+                                                2e9))
+                classic_cap = budget / ((self.num_negative + 2)
+                                        * self.dim * 32)
+                negative_sharing = classic_cap < 1024
+        self._pooled_step = bool(negative_sharing)
+        if negative_sharing:
+            trust = float(_os2.environ.get("GRAPHVITE_TRUST", 0.25)) or None
+            pool_batch = (self._batch_plan()[1]
+                          if self.sampler_backend == "device"
+                          else self.batch_size)
+            pool_target = int(_os2.environ.get(
+                "GRAPHVITE_KG_POOL_TARGET", 512))
+            pool_size = int(_os2.environ.get("GRAPHVITE_KG_POOL_SIZE", 0))
+            pool_groups = _steps.kg_pool_groups(pool_batch,
+                                                target_group=pool_target)
+            step_fn = _steps.make_kg_pool_step(
+                mdl, self.optimizer, self.num_negative, margin_or_l3,
+                self.adversarial_temperature,
+                float(relation_lr_multiplier), pool_size=pool_size,
+                pool_groups=pool_groups, trust=trust)
+        else:
+            pool_groups = 0
+            step_fn = _steps.make_kg_train_step(
+                mdl, self.optimizer, self.num_negative, margin_or_l3,
+                self.adversarial_temperature, float(relation_lr_multiplier))
         if self.sampler_backend == "device":
             sampler = self._get_sampler(
                 ("kg_edge",),
@@ -853,7 +899,8 @@ class KnowledgeGraphSolver(SolverBase):
                                                 with_relation=True))
             cache_key = ("kg", model, self.optimizer, self.num_negative,
                          float(margin_or_l3), self.adversarial_temperature,
-                         float(relation_lr_multiplier))
+                         float(relation_lr_multiplier),
+                         bool(negative_sharing), pool_groups)
             self._train_loop_device(step_fn, sampler, (), num_epoch,
                                     positive_reuse, log_frequency, True,
                                     cache_key)

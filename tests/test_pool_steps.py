@@ -273,3 +273,75 @@ def test_vis_pool_step_adam_counts_stay_stable():
     assert np.isfinite(float(loss))
     final = np.asarray(state["tables"][0])
     assert np.all(np.isfinite(final))
+
+
+def test_kg_pool_step_gradients_match_autodiff():
+    """make_kg_pool_step's hand gradients must equal jax.grad of the
+    explicit mixed-side pooled loss (positive softplus + stop-gradient-
+    weighted negative softplus), for a margin model and an l3 model."""
+    rng = np.random.default_rng(11)
+    V, R, D, B, K = 40, 5, 8, 16, 3
+    M, G = 4, 4
+    for name, hyper in (("RotatE", 6.0), ("DistMult", 1e-3)):
+        mdl = KG_MODELS[name]
+        opt = Optimizer(type="SGD", lr=0.1, weight_decay=1e-3)
+        step = _steps.make_kg_pool_step(mdl, opt, K, hyper, 2.0, 1.0,
+                                        pool_size=M, pool_groups=G,
+                                        trust=None)
+        ent = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(R, D)), jnp.float32)
+        heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+        tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+        rels = jnp.asarray(rng.integers(0, R, B), jnp.int32)
+        key = jax.random.PRNGKey(3)
+        lr = jnp.float32(0.1)
+        state = {"tables": (ent, rel), "moments": ((), ())}
+        new_state, _ = step(state, heads, tails, rels, key, lr)
+
+        cand_ids = jax.random.randint(key, (G, M), 0, V)
+        bg, M2 = B // G, M // 2
+        wd = opt.weight_decay
+        l3 = 0.0 if mdl.uses_margin else hyper
+
+        def surrogate(tables):
+            e, r = tables
+            h_pos, t_pos, r_pos = e[heads], e[tails], r[rels]
+            pos = jax.nn.softplus(-mdl.score(h_pos, t_pos, r_pos, hyper))
+            total = jnp.sum(pos)
+            reg = lambda p: (0.5 * wd * jnp.sum(p * p)
+                             + l3 * jnp.sum(jnp.abs(p) ** 3))
+            total = total + reg(h_pos) + reg(t_pos) + reg(r_pos)
+            h2 = e[heads].reshape(G, bg, D)
+            t2 = e[tails].reshape(G, bg, D)
+            r2 = r[rels].reshape(G, bg, D)
+            cand = e[cand_ids]                       # [G, M, D]
+            lg_h = mdl.score(cand[:, None, :M2, :], t2[:, :, None, :],
+                             r2[:, :, None, :], hyper)
+            lg_t = mdl.score(h2[:, :, None, :], cand[:, None, M2:, :],
+                             r2[:, :, None, :], hyper)
+            logits = jnp.concatenate([lg_h, lg_t], axis=-1)  # [G, bg, M]
+            w = jax.lax.stop_gradient(
+                jnp.minimum(jax.nn.softmax(logits / 2.0, axis=-1), 1.0))
+            total = total + jnp.sum(w * jax.nn.softplus(logits))
+            # per-touch weighted regularization on every touched row
+            wsum_cand = jnp.concatenate(
+                [jnp.sum(w[..., :M2], axis=1),
+                 jnp.sum(w[..., M2:], axis=1)], axis=-1)     # [G, M]
+            regw = lambda p, ww: (0.5 * wd * jnp.sum(ww[..., None] * p * p)
+                                  + l3 * jnp.sum(ww[..., None]
+                                                 * jnp.abs(p) ** 3))
+            total = total + regw(cand, wsum_cand)
+            total = total + regw(t2, jnp.sum(w[..., :M2], axis=2))
+            total = total + regw(h2, jnp.sum(w[..., M2:], axis=2))
+            total = total + regw(r2, jnp.sum(w, axis=2))
+            return total
+
+        want_e, want_r = jax.grad(surrogate)((ent, rel))
+        got_e = (ent - new_state["tables"][0]) / lr
+        got_r = (rel - new_state["tables"][1]) / lr
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                                   rtol=3e-4, atol=3e-5,
+                                   err_msg="entity grads (%s)" % name)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   rtol=3e-4, atol=3e-5,
+                                   err_msg="relation grads (%s)" % name)
