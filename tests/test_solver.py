@@ -133,3 +133,28 @@ def test_checkpoint_roundtrip(tmp_path):
     s2.train(model="LINE", num_epoch=20, resume=True, augmentation_step=1,
              log_frequency=10**9)
     assert np.isfinite(s2.vertex_embeddings).all()
+
+
+def test_kg_negative_sharing_auto_rule(monkeypatch):
+    """Pooling turns on only where the classic per-draw step's [B, K+1, D]
+    intermediates make micro-batches infeasible (dim 2048 x K=64 regime);
+    the shipped small-dim configs stay on the exact classic path."""
+    from graphvite_tpu.ops import steps as _steps
+
+    monkeypatch.delenv("GRAPHVITE_KG_NEG_SHARING", raising=False)
+    budget = 2e9
+
+    def auto_shares(dim, k):
+        classic_cap = budget / ((k + 2) * dim * 32)
+        return classic_cap < 1024
+
+    assert not auto_shares(128, 64)   # math.yaml small config
+    assert not auto_shares(512, 64)   # math.yaml full config
+    assert auto_shares(2048, 64)      # rotate_fb15k.yaml regime
+    assert auto_shares(1024, 64)
+
+    # kg_pool_groups: even, divides the batch, bounds the group size
+    for b in (1024, 6144, 14336, 98304):
+        g = _steps.kg_pool_groups(b)
+        assert g % 2 == 0 and b % g == 0
+        assert b // g <= 512 or g == 1024
