@@ -217,10 +217,36 @@ class SolverBase:
                 step, self.optimizer, self.batch_size, ep_batches)
             self._runner_cache[runner_key] = runner
 
-        # per-partition shards held as separate device arrays (donated to
-        # each episode call and replaced by its outputs)
+        # HBM-overflow cache mode (ref solver.h:1349-1495 load/write_back):
+        # master shards live in HOST RAM as numpy; each episode stages only
+        # the resident (head, tail) shard pair into HBM through a one-slot
+        # device cache per side (hit: same partition -> the episode's
+        # donated outputs stay resident; miss: write the evicted shard back
+        # to the host master, then upload). Tables larger than device
+        # memory become trainable on one chip. Auto when the estimated HBM
+        # demand exceeds GRAPHVITE_HBM_BYTES; force with
+        # GRAPHVITE_HOST_MASTER=1/0.
+        hm_env = _os4.environ.get("GRAPHVITE_HOST_MASTER")
+        itemsize = np.dtype(self.float_type.name).itemsize
+        n_moms = (len(self.state["moments"][0])
+                  + len(self.state["moments"][1]))
+        demand = (self.graph.num_vertex * self.dim
+                  * (2 * itemsize + n_moms * 4)   # f32 moments
+                  + tables.heads.nbytes * 4)      # heads/tails/prob/alias
+        hbm_budget = float(_os4.environ.get("GRAPHVITE_HBM_BYTES", 12e9))
+        host_master = (hm_env == "1" if hm_env is not None
+                       else demand > hbm_budget)
+        if host_master:
+            logger.info("host-master mode: shards staged per episode "
+                        "(demand %.1f GB > budget %.1f GB)",
+                        demand / 1e9, hbm_budget / 1e9)
+
+        # per-partition shards held as separate arrays (device-resident by
+        # default; host numpy masters in host_master mode)
         def split(t):
             sh = part.shard_rows(np.asarray(t))
+            if host_master:
+                return [np.ascontiguousarray(sh[p]) for p in range(P_)]
             return [jnp.asarray(sh[p]) for p in range(P_)]
 
         vparts = split(self.state["tables"][0])
@@ -228,6 +254,31 @@ class SolverBase:
         vmoms = [split(m) for m in self.state["moments"][0]]
         cmoms = [split(m) for m in self.state["moments"][1]]
         nprob, nalias, nsizes = self._blocked_neg
+
+        # one-slot device caches (reference worker keeps one head + one
+        # tail partition resident, swap-hit by pointer, solver.h:1435-1495)
+        vcache = {}  # pidx -> (table_dev, tuple(moment_dev))
+        ccache = {}
+
+        def stage(cache, pidx, parts_np, moms_np):
+            if pidx in cache:
+                return cache[pidx]
+            for old, (ot, oms) in cache.items():  # write back + evict
+                parts_np[old] = np.asarray(ot)
+                for m_list, om in zip(moms_np, oms):
+                    m_list[old] = np.asarray(om)
+            cache.clear()
+            dev = (jax.device_put(parts_np[pidx]),
+                   tuple(jax.device_put(m[pidx]) for m in moms_np))
+            cache[pidx] = dev
+            return dev
+
+        def flush(cache, parts_np, moms_np):
+            for old, (ot, oms) in cache.items():
+                parts_np[old] = np.asarray(ot)
+                for m_list, om in zip(moms_np, oms):
+                    m_list[old] = np.asarray(om)
+            cache.clear()
 
         offsets = tables.offsets
         block_w = np.maximum(
@@ -248,19 +299,30 @@ class SolverBase:
             blk = int(rng.choice(block_p.size, p=block_p))
             i, j = blk // P_, blk % P_
             key, sub = jax.random.split(key)
-            local = {"tables": (vparts[i], cparts[j]),
-                     "moments": (tuple(m[i] for m in vmoms),
-                                 tuple(m[j] for m in cmoms))}
+            if host_master:
+                v_dev, vm_dev = stage(vcache, i, vparts, vmoms)
+                c_dev, cm_dev = stage(ccache, j, cparts, cmoms)
+                local = {"tables": (v_dev, c_dev),
+                         "moments": (vm_dev, cm_dev)}
+            else:
+                local = {"tables": (vparts[i], cparts[j]),
+                         "moments": (tuple(m[i] for m in vmoms),
+                                     tuple(m[j] for m in cmoms))}
             local, losses = runner(
                 local, jnp.int32(offsets[blk]),
                 jnp.int32(offsets[blk + 1] - offsets[blk]),
                 jnp.int32(self.batch_id), num_batch_dev, sub,
                 *self._blocked_edges, nprob[j], nalias[j], nsizes[j])
-            vparts[i], cparts[j] = local["tables"]
-            for m, nm in zip(vmoms, local["moments"][0]):
-                m[i] = nm
-            for m, nm in zip(cmoms, local["moments"][1]):
-                m[j] = nm
+            if host_master:
+                # the donated outputs ARE the resident shard now
+                vcache[i] = (local["tables"][0], local["moments"][0])
+                ccache[j] = (local["tables"][1], local["moments"][1])
+            else:
+                vparts[i], cparts[j] = local["tables"]
+                for m, nm in zip(vmoms, local["moments"][0]):
+                    m[i] = nm
+                for m, nm in zip(cmoms, local["moments"][1]):
+                    m[j] = nm
             self.batch_id += ep_batches
             losses_acc.append(losses)
             if self.batch_id >= next_log or self.batch_id >= self.num_batch:
@@ -271,9 +333,17 @@ class SolverBase:
                 losses_acc = []
                 next_log = self.batch_id + log_frequency
 
+        if host_master:
+            flush(vcache, vparts, vmoms)
+            flush(ccache, cparts, cmoms)
+
         def join(parts):
-            return jnp.asarray(part.unshard_rows(
-                np.stack([np.asarray(p) for p in parts])))
+            joined = part.unshard_rows(
+                np.stack([np.asarray(p) for p in parts]))
+            # overflow mode: the full table does not fit HBM by definition;
+            # keep the canonical state host-resident (save/export paths are
+            # numpy; predict on an overflow-sized table must chunk)
+            return joined if host_master else jnp.asarray(joined)
 
         self.state = {
             "tables": (join(vparts), join(cparts)),

@@ -65,3 +65,31 @@ def test_blocked_matches_flat_statistics():
     assert np.isfinite(flat) and np.isfinite(blocked)
     assert blocked < 0.9, (flat, blocked)  # both learned positives
     assert abs(flat - blocked) < 0.35, (flat, blocked)
+
+
+def test_host_master_overflow_mode(monkeypatch):
+    """GRAPHVITE_HOST_MASTER=1 stages shard pairs per episode from host
+    numpy masters (ref solver.h:1349-1495 load/write_back): training must
+    still separate the communities, and the canonical state stays
+    host-resident."""
+    monkeypatch.setenv("GRAPHVITE_HOST_MASTER", "1")
+    g = _two_block_graph()
+    s = GraphSolver(dim=32, seed=0)
+    s.build(g, num_partition=4, num_negative=1, batch_size=512,
+            episode_size=8)
+    s.train(model="LINE", num_epoch=400, augmentation_step=1,
+            negative_weight=1.0, log_frequency=10**9)
+    assert isinstance(s.state["tables"][0], np.ndarray)
+    emb = np.asarray(s.vertex_embeddings)
+    ctx = np.asarray(s.context_embeddings)
+    assert np.isfinite(emb).all() and np.isfinite(ctx).all()
+    n2i = g.name2id
+    intra = np.asarray([(n2i[str(a)], n2i[str(b)])
+                        for a in range(0, 20) for b in range(20, 40)])
+    cross = np.asarray([(n2i[str(a)], n2i[str(b)])
+                        for a in range(0, 20) for b in range(60, 80)])
+    si = (emb[intra[:, 0]] * ctx[intra[:, 1]]).sum(-1)
+    sc = (emb[cross[:, 0]] * ctx[cross[:, 1]]).sum(-1)
+    y = np.r_[np.ones(len(si)), np.zeros(len(sc))]
+    auc = ev.rank_sum_auc(np.r_[si, sc], y)
+    assert auc > 0.9, auc
