@@ -21,16 +21,31 @@ def _enable_compile_cache():
     try:
         import jax
         platforms = str(jax.config.jax_platforms or "")
+        suffix = platforms.replace(",", "-")
         if platforms.strip() in ("cpu", ""):
             # CPU executables are AOT-compiled for the exact host CPU; a
-            # cache shared across machines (or with a remote-compile
-            # service) can produce SIGILL binaries. Only cache accelerator
-            # executables.
-            return
+            # cache shared across machines (NFS homes, container images)
+            # can produce SIGILL binaries. Key the cache directory by the
+            # host CPU identity (arch + flags hash) so it is only ever hit
+            # on an identical CPU — big CPU-mesh test programs take many
+            # minutes to compile otherwise.
+            import hashlib
+            import platform as _plat
+            flags = ""
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            flags = line
+                            break
+            except OSError:
+                pass
+            cpu_id = hashlib.sha1(
+                (_plat.machine() + flags).encode()).hexdigest()[:12]
+            suffix = "cpu-%s" % cpu_id
         path = _os.environ.get(
             "GRAPHVITE_TPU_CACHE_DIR",
-            _os.path.expanduser("~/.cache/graphvite_tpu/jax-%s"
-                                % platforms.replace(",", "-")))
+            _os.path.expanduser("~/.cache/graphvite_tpu/jax-%s" % suffix))
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -40,40 +40,91 @@ class WordGraph(Graph):
         from graphvite_tpu.graph import _make_tokenizer
         tokenize = _make_tokenizer(delimiters)
 
-        def lines():
+        ids = sent_of = None
+        if delimiters is None:
+            # FAST PATH (default whitespace tokens): both passes in numpy —
+            # per-line Python loops with dict lookups cost ~50s per 1M
+            # tokens, which made the reference's actual use (Wikipedia,
+            # word_graph.cuh:73-166) infeasible. A '\\x00' sentinel token
+            # spliced at line breaks carries the sentence index through one
+            # whole-corpus split; vocabulary and token ids come from
+            # np.unique + np.searchsorted (C-speed sorts).
             with open(file_name) as f:
-                for line in f:
-                    ci = line.find(comment)
-                    if ci >= 0:
-                        line = line[:ci]
-                    yield line
+                raw = f.read()
+            if comment and comment in raw:
+                raw = "\n".join(line.split(comment, 1)[0]
+                                for line in raw.split("\n"))
+            sentinel = "\x00"
+            tokens = np.asarray(
+                raw.replace("\n", " %s " % sentinel).split())
+            del raw
+            if tokens.size:
+                is_brk = tokens == sentinel
+                sent_of_all = np.cumsum(is_brk, dtype=np.int64)
+                tokens = tokens[~is_brk]
+                sent_of_all = sent_of_all[~is_brk]
+                uniq, first, counts = np.unique(
+                    tokens, return_index=True, return_counts=True)
+                kept = counts >= min_count
+                uniq_kept = uniq[kept]
+                # first-seen id order (Counter parity; word_graph.cuh
+                # assigns ids in encounter order)
+                order = np.argsort(first[kept], kind="stable")
+                id2name = [str(w) for w in uniq_kept[order]]
+                rank_to_id = np.empty(uniq_kept.size, np.int64)
+                rank_to_id[order] = np.arange(order.size)
+                pos = np.searchsorted(uniq_kept, tokens)
+                pos = np.minimum(pos, max(uniq_kept.size - 1, 0))
+                in_vocab = (uniq_kept.size > 0) & \
+                    (uniq_kept[pos] == tokens)
+                ids = rank_to_id[pos[in_vocab]]
+                sent_of = sent_of_all[in_vocab]
+                del tokens, sent_of_all
+            else:
+                id2name = []
+                ids = np.zeros(0, np.int64)
+                sent_of = np.zeros(0, np.int64)
+            self.id2name = id2name
+            self.name2id = {w: i for i, w in enumerate(id2name)}
+            self.num_vertex = len(id2name)
+            V = max(self.num_vertex, 1)
+        else:
+            def lines():
+                with open(file_name) as f:
+                    for line in f:
+                        ci = line.find(comment)
+                        if ci >= 0:
+                            line = line[:ci]
+                        yield line
 
-        # pass 1: vocabulary (Counter.update is C-speed)
-        freq = Counter()
-        for line in lines():
-            freq.update(tokenize(line))
-        id2name = [w for w, c in freq.items() if c >= min_count]
-        name2id = {w: i for i, w in enumerate(id2name)}
-        self.id2name = id2name
-        self.name2id = name2id
-        self.num_vertex = len(id2name)
-        V = max(self.num_vertex, 1)
+            # pass 1: vocabulary (Counter.update is C-speed)
+            freq = Counter()
+            for line in lines():
+                freq.update(tokenize(line))
+            id2name = [w for w, c in freq.items() if c >= min_count]
+            name2id = {w: i for i, w in enumerate(id2name)}
+            self.id2name = id2name
+            self.name2id = name2id
+            self.num_vertex = len(id2name)
+            V = max(self.num_vertex, 1)
 
-        # pass 2: flat id stream + sentence index, then vectorized
-        # windowed pair keys aggregated chunk-by-chunk
-        id_chunks = []
-        lengths = []
-        for line in lines():
-            sent = [name2id[w] for w in tokenize(line) if w in name2id]
-            if sent:
-                id_chunks.append(np.asarray(sent, np.int64))
-                lengths.append(len(sent))
+            # pass 2: flat id stream + sentence index
+            id_chunks = []
+            lengths = []
+            for line in lines():
+                sent = [name2id[w] for w in tokenize(line) if w in name2id]
+                if sent:
+                    id_chunks.append(np.asarray(sent, np.int64))
+                    lengths.append(len(sent))
+            if id_chunks:
+                ids = np.concatenate(id_chunks)
+                sent_of = np.repeat(
+                    np.arange(len(lengths), dtype=np.int64), lengths)
+                del id_chunks
+
+        # vectorized windowed pair keys aggregated chunk-by-chunk
         partial = []          # list of (unique_keys, counts)
-        if id_chunks:
-            ids = np.concatenate(id_chunks)
-            sent_of = np.repeat(np.arange(len(lengths), dtype=np.int64),
-                                lengths)
-            del id_chunks
+        if ids is not None and ids.size:
             buffered = []
             buffered_n = 0
 

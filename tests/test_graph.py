@@ -92,3 +92,30 @@ def test_save_roundtrip(tmp_path):
     g2 = Graph().load_file(str(p), as_undirected=False)
     assert g2.num_edge == g.num_edge
     assert set(g2.id2name) == set(g.id2name)
+
+
+def test_word_graph_fast_path_matches_fallback(tmp_path):
+    """The numpy fast path (default whitespace tokens) must build the same
+    graph as the per-line fallback (forced via explicit delimiters):
+    same vocabulary ids (first-seen order), same edges and weights."""
+    import numpy as np
+    from graphvite_tpu.word_graph import WordGraph
+    rng = np.random.default_rng(7)
+    words = ["w%d" % i for i in range(50)]
+    corpus = tmp_path / "corpus.txt"
+    with open(corpus, "w") as f:
+        for _ in range(300):
+            n = rng.integers(3, 12)
+            f.write(" ".join(rng.choice(words, n)) + "\n")
+        f.write("w1 w2 w3 # a trailing comment w4 w5\n")
+
+    fast = WordGraph().load_file(str(corpus), window=3, min_count=2)
+    slow = WordGraph().load_file(str(corpus), window=3, min_count=2,
+                                 delimiters=" \t\n")
+    assert fast.id2name == slow.id2name
+    assert fast.num_edge == slow.num_edge
+    ef = sorted(zip(fast.edge_heads.tolist(), fast.edge_tails.tolist(),
+                    fast.edge_weights.tolist()))
+    es = sorted(zip(slow.edge_heads.tolist(), slow.edge_tails.tolist(),
+                    slow.edge_weights.tolist()))
+    assert ef == es
