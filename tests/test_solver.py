@@ -158,3 +158,20 @@ def test_kg_negative_sharing_auto_rule(monkeypatch):
         g = _steps.kg_pool_groups(b)
         assert g % 2 == 0 and b % g == 0
         assert b // g <= 512 or g == 1024
+
+
+def test_kg_pooled_path_learns():
+    """negative_sharing=True routes KnowledgeGraphSolver.train through
+    make_kg_pool_step (mixed-side shared pools): the solver path must
+    train end to end and rank true triplets above corrupted ones."""
+    kg = math_triplets()
+    solver = KnowledgeGraphSolver(dim=32)
+    solver.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+                 batch_size=128, episode_size=8)
+    solver.train(model="RotatE", num_epoch=800, margin=4.0,
+                 adversarial_temperature=2.0, negative_sharing=True,
+                 log_frequency=10000)
+    h = np.arange(40)
+    true = np.stack([h, (h + 1) % 41, np.zeros(40, int)], axis=1)
+    fake = np.stack([h, (h + 17) % 41, np.zeros(40, int)], axis=1)
+    assert (solver.predict(true) > solver.predict(fake)).mean() > 0.8
