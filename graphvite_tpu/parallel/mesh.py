@@ -37,6 +37,23 @@ from graphvite_tpu.ops.steps import _logistic_terms
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "p") -> Mesh:
+    """1-D device mesh over the partition axis.
+
+    Multi-host: the episode engine is plain shard_map + ppermute/psum, so
+    it runs unchanged over a mesh spanning hosts once the JAX distributed
+    runtime is up; set GRAPHVITE_COORDINATOR=host:port (plus
+    GRAPHVITE_NUM_PROCESSES / GRAPHVITE_PROCESS_ID) before the first
+    device query and every process sees the global device list here. The
+    ring rotation (ppermute by mesh order) then rides ICI within a slice
+    and DCN across hosts, matching SURVEY §5's communication plan."""
+    import os
+    coord = os.environ.get("GRAPHVITE_COORDINATOR")
+    if coord and not getattr(make_mesh, "_dist_initialized", False):
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["GRAPHVITE_NUM_PROCESSES"]),
+            process_id=int(os.environ["GRAPHVITE_PROCESS_ID"]))
+        make_mesh._dist_initialized = True
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
