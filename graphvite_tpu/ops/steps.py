@@ -476,7 +476,11 @@ def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
     make_graph_pool_step's pool clip (inactive under moment rules).
     """
     k = num_negative
-    M = int(pool_size) if pool_size else max(int(num_negative), 16)
+    # default pool size: quality on the math fixture is a function of the
+    # shared-candidate diversity — MRR 0.585 at M=16 vs 0.6695 at M=64
+    # (classic per-draw: 0.679), so the default gives every group at least
+    # 64 distinct candidates and never fewer than 2K
+    M = int(pool_size) if pool_size else max(2 * int(num_negative), 64)
     M += M % 2
     G = int(pool_groups)
     M2 = M // 2
