@@ -936,15 +936,16 @@ class KnowledgeGraphSolver(SolverBase):
         import os as _os2
         if negative_sharing in (auto, None):
             # auto-rule: shared pools pay where the classic per-draw step
-            # cannot run (its [B, K+1, D] intermediates cap the micro-batch
-            # at GRAPHVITE_STEP_BYTES / ((K+2)*D*32) — near ~1k samples
-            # per step the dense-accumulator scan and fixed overheads
-            # dominate, PERF.md KG trace: 14.9k triplets/s at dim 2048).
-            # Where classic fits (the shipped demo/benchmark configs up to
-            # dim 512 x K=64), it keeps exact per-sample-negative
-            # reference semantics and slightly better quality (math
-            # fixture dim 128: MRR 0.664 classic vs 0.585 pooled), so it
-            # stays the default there.
+            # chokes — its [B, K+1, D] intermediates cap the micro-batch
+            # at GRAPHVITE_STEP_BYTES / ((K+2)*D*32), and once that drops
+            # below a few thousand samples the dense-accumulator scan and
+            # fixed overheads dominate (PERF.md KG trace: 14.9k triplets/s
+            # at dim 2048). Quality is at parity at the default pool size
+            # (math fixture: MRR 0.6695 pooled vs 0.679 classic,
+            # RESULTS.md ablation), so pooling engages for every heavy
+            # dim*K regime (dim 512 x K=64 and up); light configs keep the
+            # classic step's exact per-sample-negative reference semantics
+            # at no cost.
             env = _os2.environ.get("GRAPHVITE_KG_NEG_SHARING")
             if env is not None:
                 negative_sharing = env != "0"
@@ -953,7 +954,7 @@ class KnowledgeGraphSolver(SolverBase):
                                                 2e9))
                 classic_cap = budget / ((self.num_negative + 2)
                                         * self.dim * 32)
-                negative_sharing = classic_cap < 1024
+                negative_sharing = classic_cap < 4096
         self._pooled_step = bool(negative_sharing)
         if negative_sharing:
             trust = float(_os2.environ.get("GRAPHVITE_TRUST", 0.25)) or None

@@ -146,10 +146,11 @@ def test_kg_negative_sharing_auto_rule(monkeypatch):
 
     def auto_shares(dim, k):
         classic_cap = budget / ((k + 2) * dim * 32)
-        return classic_cap < 1024
+        return classic_cap < 4096
 
     assert not auto_shares(128, 64)   # math.yaml small config
-    assert not auto_shares(512, 64)   # math.yaml full config
+    assert not auto_shares(512, 8)    # math.yaml full config (K=8)
+    assert auto_shares(512, 64)       # heavy-K mid-dim regime
     assert auto_shares(2048, 64)      # rotate_fb15k.yaml regime
     assert auto_shares(1024, 64)
 
