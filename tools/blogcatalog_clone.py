@@ -78,6 +78,7 @@ def generate(seed=0):
 def main():
     num_epoch = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     float_type = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    model = sys.argv[3] if len(sys.argv) > 3 else "LINE"
     t0 = time.time()
     edges, labels = generate()
     rng = np.random.default_rng(1)
@@ -94,9 +95,10 @@ def main():
         [(str(u), str(v)) for u, v in train_e], as_undirected=True)
     solver = GraphSolver(dim=128, float_type=float_type)
     solver.build(g, num_negative=1, batch_size=100000, episode_size=500)
-    solver.train(model="LINE", num_epoch=num_epoch, augmentation_step=2,
+    kw = dict(p=0.25, q=0.25) if model == "node2vec" else {}
+    solver.train(model=model, num_epoch=num_epoch, augmentation_step=2,
                  random_walk_length=40, negative_weight=5.0,
-                 log_frequency=10**9)
+                 log_frequency=10**9, **kw)
     train_s = time.time() - t0
     emb = solver.vertex_embeddings
     if not np.isfinite(emb).all():
@@ -129,7 +131,7 @@ def main():
     f1 = ev.linear_classification(solver.vertex_embeddings[ids],
                                   labels[orig], 0.2, seed=0)
     print(json.dumps({
-        "config": "demo/quick_start.yaml (BlogCatalog-statistics clone)",
+        "config": "demo/quick_start.yaml (BlogCatalog-statistics clone)", "model": model,
         "float_type": float_type,
         "auc": round(auc, 4),
         "micro_f1_20": round(f1["micro-F1@20%"], 4),
