@@ -380,3 +380,81 @@ if __name__ == "__main__":
                   flush=True)
         sys.stderr.write("%s done in %.0fs\n" % (name, time.time() - t0))
         sys.stderr.flush()
+
+
+def e_pallas_sweep_mxu():
+    """Tile-sweep scatter with MXU one-hot accumulate
+    (ops/pallas_scatter.sweep_scatter_add): the structural alternative to
+    per-row scatter — 2 full-table passes + N*T*D MACs, duplicate-agnostic."""
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
+
+    for tile, chunk, dtype in ((1024, 512, jnp.float32),
+                               (2048, 512, jnp.float32),
+                               (1024, 256, jnp.float32),
+                               (2048, 512, jnp.bfloat16)):
+        npad = N + (-N) % chunk
+
+        @functools.partial(jax.jit, donate_argnums=0,
+                           static_argnames=("tile", "chunk"))
+        def run(table, salt, tile=tile, chunk=chunk):
+            def body(t, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(3),
+                                         salt * 131 + i)
+                ids = jax.random.randint(key, (N,), 0, V)
+                g = jnp.full((N, D), 1e-6, t.dtype)
+                ids = jnp.sort(jnp.concatenate(
+                    [ids, jnp.full(((-N) % chunk,), V - 1, ids.dtype)]))
+                g = jnp.concatenate(
+                    [g, jnp.zeros(((-N) % chunk, D), g.dtype)])
+                return sweep_scatter_add(t, ids, g, tile_rows=tile,
+                                         chunk=chunk), 0.0
+            table, _ = jax.lax.scan(body, table,
+                                    jnp.arange(EP, dtype=jnp.int32))
+            return table
+
+        name = "pallas_sweep_mxu_t%d_c%d_%s" % (tile, chunk, dtype.__name__)
+        try:
+            dt, _ = chain_time(run, jnp.zeros((V, D), dtype), ())
+            report(name, dt)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"experiment": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+def e_sweep_mxu_presorted():
+    """Same kernel fed PRE-SORTED ids (the sorted-edge-stream case: no sort
+    and no gradient permute in the measured path)."""
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
+
+    chunk = 512
+    npad = N + (-N) % chunk
+    for tile, dtype in ((1024, jnp.float32), (2048, jnp.bfloat16)):
+        @functools.partial(jax.jit, donate_argnums=0,
+                           static_argnames=("tile",))
+        def run(table, salt, tile=tile):
+            def body(t, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(3),
+                                         salt * 131 + i)
+                # sorted-by-construction (cumsum of gaps): no sort in the
+                # measured path — models the sorted-edge-stream case
+                gaps = jax.random.randint(key, (npad,), 0,
+                                          2 * V // npad + 1)
+                ids = jnp.minimum(jnp.cumsum(gaps), V - 1).astype(jnp.int32)
+                g = jnp.full((npad, D), 1e-6, t.dtype)
+                return sweep_scatter_add(t, ids, g, tile_rows=tile,
+                                         chunk=chunk), 0.0
+            table, _ = jax.lax.scan(body, table,
+                                    jnp.arange(EP, dtype=jnp.int32))
+            return table
+
+        name = "sweep_mxu_presorted_t%d_%s" % (tile, dtype.__name__)
+        try:
+            dt, _ = chain_time(run, jnp.zeros((V, D), dtype), ())
+            report(name, dt)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"experiment": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+EXPERIMENTS["pallas_sweep_mxu"] = e_pallas_sweep_mxu
+EXPERIMENTS["sweep_mxu_presorted"] = e_sweep_mxu_presorted
