@@ -84,10 +84,8 @@ def _make_kernel(tile_rows: int, chunk: int, dim: int, n_pad: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_rows", "chunk", "interpret"))
 def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
-                      chunk: int = 512, interpret: bool = False):
+                      chunk: int = 512, interpret: bool = None):
     """table[sorted_ids[j]] += sorted_upd[j] for all j, duplicates summed.
 
     table:      [V, D]
@@ -102,6 +100,9 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
     callers pad (zero rows sort anywhere; id V-1 keeps them in the last
     tile).
     """
+    if interpret is None:
+        # Mosaic kernels only run interpreted off-TPU (CPU mesh tests)
+        interpret = jax.default_backend() == "cpu"
     v, d = table.shape
     n = sorted_ids.shape[0]
     T, C = int(tile_rows), int(chunk)

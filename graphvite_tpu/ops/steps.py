@@ -148,7 +148,9 @@ def graph_pool_groups(batch_size: int, target_group: int = 2048,
 
 def make_graph_pool_step(opt: Optimizer, num_negative: int,
                          negative_weight: float, pool_size: int = 256,
-                         pool_groups: int = 8, trust: float = 0.25):
+                         pool_groups: int = 8, trust: float = 0.25,
+                         sweep_vertex: bool = False, sweep_tile: int = 1024,
+                         sweep_chunk: int = 512):
     """Shared-negative-pool graph step (negative sharing).
 
     Instead of K per-sample noise draws (gpu/graph.cuh:48-58 draws per
@@ -264,10 +266,23 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
             c_sqs = jnp.concatenate(
                 [(dc ** 2).reshape(b, -1), p_sqs.reshape(G * M, -1)])
 
-        new_vertex, new_v_moms = apply_row_updates(
-            vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
-            dv.reshape(b, -1), opt, lr,
-            entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
+        if (sweep_vertex and opt.num_moment == 0
+                and b % sweep_chunk == 0):
+            # Pallas tile-sweep scatter (ops/pallas_scatter): the solver
+            # enables this only when heads arrive SORTED (sorted edge
+            # stream) and the mask is constant 1 (edge-stream mode) — the
+            # kernel needs ascending ids and drops nothing
+            from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
+            delta = (lr * dv.reshape(b, -1)).astype(jnp.float32)
+            new_vertex = sweep_scatter_add(
+                vertex, heads.astype(jnp.int32), -delta,
+                tile_rows=sweep_tile, chunk=sweep_chunk)
+            new_v_moms = v_moms
+        else:
+            new_vertex, new_v_moms = apply_row_updates(
+                vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
+                dv.reshape(b, -1), opt, lr,
+                entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
         ctx_ids = jnp.concatenate(
             [_mask_ids(tails, mask, context.shape[0]),
              pool_ids.reshape(-1)])

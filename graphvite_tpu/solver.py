@@ -389,6 +389,11 @@ class SolverBase:
         # the batch; a //8 rounding would cap usable groups at 8)
         eff = min(self.batch_size, mem_cap)
         unit = 256 if eff >= 256 else 8
+        if getattr(self, "_sweep_scatter", False) and eff >= 1024:
+            # the sweep-scatter path needs batches that are whole sorted
+            # stream chunks (1024) — a partial chunk would force the
+            # anti-truncation-bias roll, leaving 2 sorted runs
+            unit = 1024
         eff = max(eff // unit * unit, unit)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
@@ -750,6 +755,24 @@ class GraphSolver(SolverBase):
         # note; reproduced on the BlogCatalog-statistics clone)
         import os as _os3
         trust = float(_os3.environ.get("GRAPHVITE_TRUST", 0.25)) or None
+        # Pallas tile-sweep scatter for the vertex side (ops/pallas_scatter):
+        # needs a SORTED head stream (sorted edge stream, aug=1), an SGD
+        # (0-moment) rule, and a table big enough that the XLA per-row
+        # scatter beats 2 sequential table passes
+        from graphvite_tpu.optim import DENSE_UPDATE_ELEMS
+        use_sweep = (_os3.environ.get("GRAPHVITE_SWEEP_SCATTER", "0") != "0"
+                     and self.optimizer.num_moment == 0
+                     and negative_sharing
+                     and augmentation_step == 1
+                     and self.sampler_backend == "device"
+                     and num_vertex * self.dim > DENSE_UPDATE_ELEMS)
+        if use_sweep:
+            sampler = self._get_sampler(
+                ("edge", True),
+                lambda: DeviceEdgeSampler.build(self.graph,
+                                                sort_stream=True))
+            use_sweep = bool(sampler.sorted_stream)
+        self._sweep_scatter = use_sweep
         if negative_sharing:
             # group count scales with the MICRO-batch (the unit the pool
             # step sees) so Bg = batch / G stays ~2k: a pool row's
@@ -762,7 +785,8 @@ class GraphSolver(SolverBase):
             pool_groups = _steps.graph_pool_groups(pool_batch)
             step_fn = _steps.make_graph_pool_step(
                 self.optimizer, self.num_negative, float(negative_weight),
-                pool_groups=pool_groups, trust=trust)
+                pool_groups=pool_groups, trust=trust,
+                sweep_vertex=use_sweep)
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
@@ -784,7 +808,9 @@ class GraphSolver(SolverBase):
             eff_batch = self._effective_batch()
             if augmentation_step == 1:
                 sampler = self._get_sampler(
-                    ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
+                    ("edge", use_sweep),
+                    lambda: DeviceEdgeSampler.build(
+                        self.graph, sort_stream=True if use_sweep else None))
             else:
                 sampler = self._get_sampler(
                     ("walk", augmentation_step, random_walk_length,
@@ -798,7 +824,7 @@ class GraphSolver(SolverBase):
                          int(random_walk_length), float(p), float(q),
                          float(negative_sample_exponent),
                          bool(negative_sharing),
-                         pool_groups if negative_sharing else 0)
+                         pool_groups if negative_sharing else 0, use_sweep)
             self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
                                     positive_reuse, log_frequency, False,
                                     cache_key)

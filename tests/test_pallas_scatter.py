@@ -77,3 +77,75 @@ def test_sweep_bf16_table():
     ref = np.asarray(want, np.float32)
     np.testing.assert_allclose(np.asarray(got, np.float32), ref,
                                rtol=0.05, atol=0.05)
+
+
+def test_pool_step_sweep_matches_xla():
+    """make_graph_pool_step(sweep_vertex=True) must produce the same vertex
+    table as the XLA scatter path when heads are sorted and SGD is used."""
+    from graphvite_tpu.optim import Optimizer
+    from graphvite_tpu.ops.steps import make_graph_pool_step
+
+    v, d, b = 4096, 32, 1024
+    rng = np.random.default_rng(2)
+    opt = Optimizer(type="SGD", lr=0.025, weight_decay=5e-3)
+    heads = np.sort((rng.random(b) ** 2 * v).astype(np.int32))
+    tails = rng.integers(0, v, b).astype(np.int32)
+    state = {
+        "tables": (jnp.asarray(rng.normal(0, 0.1, (v, d)), jnp.float32),
+                   jnp.asarray(rng.normal(0, 0.1, (v, d)), jnp.float32)),
+        "moments": ((), ()),
+    }
+    neg_prob = jnp.ones((v,), jnp.float32)
+    neg_alias = jnp.arange(v, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(0.025)
+
+    # trust=None so both paths use the plain scatter rule
+    ref_step = make_graph_pool_step(opt, 1, 5.0, pool_groups=4, trust=None)
+    new_ref, loss_ref = ref_step(state, jnp.asarray(heads),
+                                 jnp.asarray(tails), key, lr,
+                                 neg_prob, neg_alias)
+    sweep_step = make_graph_pool_step(opt, 1, 5.0, pool_groups=4, trust=None,
+                                      sweep_vertex=True, sweep_tile=512,
+                                      sweep_chunk=256)
+    new_sw, loss_sw = sweep_step(state, jnp.asarray(heads),
+                                 jnp.asarray(tails), key, lr,
+                                 neg_prob, neg_alias)
+    assert float(loss_ref) == pytest.approx(float(loss_sw), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(new_sw["tables"][0]),
+                               np.asarray(new_ref["tables"][0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_sw["tables"][1]),
+                               np.asarray(new_ref["tables"][1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_solver_sweep_gate_end_to_end(monkeypatch, tmp_path):
+    """GRAPHVITE_SWEEP_SCATTER=1 engages the sorted stream + sweep path
+    through GraphSolver.train (thresholds shrunk to test scale)."""
+    import graphvite_tpu.optim as optim_mod
+    from graphvite_tpu.ops.device_sampler import DeviceEdgeSampler
+    from graphvite_tpu.solver import GraphSolver
+    from graphvite_tpu.graph import Graph
+
+    monkeypatch.setenv("GRAPHVITE_SWEEP_SCATTER", "1")
+    monkeypatch.setattr(optim_mod, "DENSE_UPDATE_ELEMS", 1000)
+    monkeypatch.setattr(DeviceEdgeSampler, "MIN_STREAM_BLOCKS", 1)
+
+    rng = np.random.default_rng(3)
+    v, e = 512, 4096
+    lines = ["%d\t%d" % (rng.integers(0, v), rng.integers(0, v))
+             for _ in range(e)]
+    f = tmp_path / "edges.txt"
+    f.write_text("\n".join(lines))
+    g = Graph()
+    g.load_file(str(f), normalization=False)
+
+    solver = GraphSolver(dim=16)
+    solver.build(g, optimizer={"type": "SGD", "lr": 0.025},
+                 num_negative=1, batch_size=2048, episode_size=2)
+    solver.train(model="LINE", num_epoch=4, augmentation_step=1,
+                 log_frequency=10**9)
+    assert solver._sweep_scatter is True
+    emb = np.asarray(solver.state["tables"][0])
+    assert np.all(np.isfinite(emb))
