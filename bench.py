@@ -101,7 +101,8 @@ def bench_kg():
     # tunnel), which at the memory-capped KG batch would dominate
     solver.build(g, optimizer={"type": "Adam", "lr": 2.0e-4,
                                "weight_decay": 0},
-                 num_negative=num_negative, batch_size=100000,
+                 num_negative=num_negative,
+                 batch_size=int(os.environ.get("BENCH_KG_BATCH", "100000")),
                  episode_size=50)
     # warmup (compile)
     solver.train(model="RotatE", num_epoch=1, margin=24,
@@ -160,16 +161,27 @@ def main():
         # K=64 configs have taken the TPU worker down) must not lose the
         # LINE headline already computed above
         import subprocess
-        try:
+
+        def try_kg(extra_env):
+            env = dict(os.environ, **extra_env)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--kg-only"],
-                capture_output=True, text=True, timeout=3600)
+                capture_output=True, text=True, timeout=3600, env=env)
             sys.stderr.write(out.stderr[-2000:])
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
-            result.update(json.loads(line))
+            return json.loads(line)
+
+        try:
+            result.update(try_kg({}))
         except Exception as e:  # noqa: BLE001 - LINE headline must survive
-            sys.stderr.write("kg bench failed: %r\n" % (e,))
+            sys.stderr.write("kg bench failed: %r; retrying smaller\n"
+                             % (e,))
+            try:
+                result.update(try_kg({"BENCH_KG_BATCH": "25000"}))
+                result["kg_note"] = "batch 25000 (full-size run crashed)"
+            except Exception as e2:  # noqa: BLE001
+                sys.stderr.write("kg retry failed: %r\n" % (e2,))
     print(json.dumps(result))
     sys.stderr.write("total wall %.1fs (train %.1fs, %d samples)\n"
                      % (time.time() - t0, elapsed, samples))

@@ -31,9 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-V = 1_000_000
-D = 128
-N = 325_520           # context-update count at the solver's effective batch
+import os as _os
+V = int(_os.environ.get("PB_V", 1_000_000))
+D = int(_os.environ.get("PB_D", 128))
+N = int(_os.environ.get("PB_N", 325_520))           # context-update count at the solver's effective batch
 EP = 10               # calls per timed chain
 
 
