@@ -459,3 +459,26 @@ def e_sweep_mxu_presorted():
 
 EXPERIMENTS["pallas_sweep_mxu"] = e_pallas_sweep_mxu
 EXPERIMENTS["sweep_mxu_presorted"] = e_sweep_mxu_presorted
+
+
+def e_sweep_verify():
+    """Compiled-mode correctness of sweep_scatter_add vs XLA scatter on the
+    device (interpret-mode tests cannot catch Mosaic lowering bugs)."""
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
+
+    rng = np.random.default_rng(0)
+    n = (N // 512) * 512
+    ids = np.sort((rng.random(n) ** 2.5 * V).astype(np.int32))
+    upd = rng.normal(size=(n, D)).astype(np.float32) * 1e-3
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    want = np.asarray(jnp.asarray(table).at[jnp.asarray(ids)].add(
+        jnp.asarray(upd)))
+    got = np.asarray(sweep_scatter_add(
+        jnp.asarray(table), jnp.asarray(ids), jnp.asarray(upd)))
+    err = np.max(np.abs(got - want))
+    print(json.dumps({"experiment": "sweep_verify",
+                      "max_abs_err": float(err),
+                      "ok": bool(err < 1e-3)}), flush=True)
+
+
+EXPERIMENTS["sweep_verify"] = e_sweep_verify
