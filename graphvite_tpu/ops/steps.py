@@ -150,7 +150,7 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
                          negative_weight: float, pool_size: int = 256,
                          pool_groups: int = 8, trust: float = 0.25,
                          sweep_vertex: bool = False, sweep_tile: int = 1024,
-                         sweep_chunk: int = 512):
+                         sweep_chunk: int = 512, sweep_context: bool = False):
     """Shared-negative-pool graph step (negative sharing).
 
     Instead of K per-sample noise draws (gpu/graph.cuh:48-58 draws per
@@ -288,9 +288,25 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
              pool_ids.reshape(-1)])
         ctx_grads = jnp.concatenate(
             [dc.reshape(b, -1), dP.reshape(G * M, -1)])
-        new_context, new_c_moms = apply_row_updates(
-            context, c_moms, ctx_ids, ctx_grads, opt, lr,
-            entry_counts=c_counts, entry_sqs=c_sqs, trust=trust)
+        if sweep_context and opt.num_moment == 0:
+            # unsorted-id sweep (argsort front-end): tails never arrive
+            # sorted, so this pays an extra sort + row permute — the
+            # solver gates it behind its own measured auto-rule/env knob.
+            # Solver guarantees edge-stream mode here (mask constant 1, so
+            # _mask_ids is the identity and every id is in range).
+            from graphvite_tpu.ops.pallas_scatter import (
+                sweep_scatter_add_unsorted)
+            cdelta = (lr * ctx_grads).astype(jnp.float32)
+            new_context = sweep_scatter_add_unsorted(
+                context, ctx_ids.astype(jnp.int32), -cdelta,
+                tile_rows=sweep_tile, chunk=sweep_chunk,
+                permute_dtype=(jnp.bfloat16
+                               if context.dtype == jnp.bfloat16 else None))
+            new_c_moms = c_moms
+        else:
+            new_context, new_c_moms = apply_row_updates(
+                context, c_moms, ctx_ids, ctx_grads, opt, lr,
+                entry_counts=c_counts, entry_sqs=c_sqs, trust=trust)
         new_state = {"tables": (new_vertex, new_context),
                      "moments": (new_v_moms, new_c_moms)}
         return new_state, mean_loss

@@ -773,6 +773,18 @@ class GraphSolver(SolverBase):
                                                 sort_stream=True))
             use_sweep = bool(sampler.sorted_stream)
         self._sweep_scatter = use_sweep
+        # context-side sweep (unsorted ids, argsort front-end): same gates
+        # minus the sorted stream — tails are never sorted, the kernel
+        # front-end sorts. Opt-in until device-measured (the sort + row
+        # permute must beat the XLA per-row scatter's margin).
+        use_sweep_ctx = (_os3.environ.get(
+                             "GRAPHVITE_SWEEP_CONTEXT", "0") != "0"
+                         and self.optimizer.num_moment == 0
+                         and negative_sharing
+                         and augmentation_step == 1
+                         and self.sampler_backend == "device"
+                         and num_vertex * self.dim > DENSE_UPDATE_ELEMS)
+        self._sweep_context = use_sweep_ctx
         if negative_sharing:
             # group count scales with the MICRO-batch (the unit the pool
             # step sees) so Bg = batch / G stays ~2k: a pool row's
@@ -786,7 +798,7 @@ class GraphSolver(SolverBase):
             step_fn = _steps.make_graph_pool_step(
                 self.optimizer, self.num_negative, float(negative_weight),
                 pool_groups=pool_groups, trust=trust,
-                sweep_vertex=use_sweep)
+                sweep_vertex=use_sweep, sweep_context=use_sweep_ctx)
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
@@ -824,7 +836,8 @@ class GraphSolver(SolverBase):
                          int(random_walk_length), float(p), float(q),
                          float(negative_sample_exponent),
                          bool(negative_sharing),
-                         pool_groups if negative_sharing else 0, use_sweep)
+                         pool_groups if negative_sharing else 0, use_sweep,
+                         use_sweep_ctx)
             self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
                                     positive_reuse, log_frequency, False,
                                     cache_key)

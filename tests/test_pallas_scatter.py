@@ -79,6 +79,69 @@ def test_sweep_bf16_table():
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("n,permute_dtype", [
+    (1500, None),               # non-chunk-multiple N exercises padding
+    (2048, jnp.bfloat16),       # permute-dtype rounding path
+])
+def test_sweep_unsorted_matches_xla(n, permute_dtype):
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add_unsorted
+    v, d = 4096, 128
+    rng = np.random.default_rng(7)
+    ids = (rng.random(n) ** 3 * v).astype(np.int32)
+    upd = rng.normal(size=(n, d)).astype(np.float32)
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    ref_upd = (np.asarray(jnp.asarray(upd).astype(permute_dtype),
+                          np.float32)
+               if permute_dtype is not None else upd)
+    want = jnp.asarray(table).at[jnp.asarray(ids)].add(jnp.asarray(ref_upd))
+    got = sweep_scatter_add_unsorted(
+        jnp.asarray(table), jnp.asarray(ids), jnp.asarray(upd),
+        tile_rows=512, chunk=256, interpret=True,
+        permute_dtype=permute_dtype)
+    tol = 0.02 if permute_dtype is not None else 1e-4
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol)
+
+
+def test_pool_step_sweep_context_matches_xla():
+    """make_graph_pool_step(sweep_context=True) must produce the same
+    context table as the XLA scatter path (SGD, unsorted tails)."""
+    from graphvite_tpu.optim import Optimizer
+    from graphvite_tpu.ops.steps import make_graph_pool_step
+
+    v, d, b = 4096, 32, 1024
+    rng = np.random.default_rng(11)
+    opt = Optimizer(type="SGD", lr=0.025, weight_decay=5e-3)
+    heads = rng.integers(0, v, b).astype(np.int32)
+    tails = (rng.random(b) ** 2 * v).astype(np.int32)  # hub-heavy dups
+    state = {
+        "tables": (jnp.asarray(rng.normal(0, 0.1, (v, d)), jnp.float32),
+                   jnp.asarray(rng.normal(0, 0.1, (v, d)), jnp.float32)),
+        "moments": ((), ()),
+    }
+    neg_prob = jnp.ones((v,), jnp.float32)
+    neg_alias = jnp.arange(v, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    ref_step = make_graph_pool_step(opt, 1, 5.0, pool_groups=4, trust=None)
+    new_ref, loss_ref = ref_step(state, jnp.asarray(heads),
+                                 jnp.asarray(tails), key,
+                                 jnp.float32(0.025), neg_prob, neg_alias)
+    sw_step = make_graph_pool_step(opt, 1, 5.0, pool_groups=4, trust=None,
+                                   sweep_context=True, sweep_tile=512,
+                                   sweep_chunk=256)
+    new_sw, loss_sw = sw_step(state, jnp.asarray(heads),
+                              jnp.asarray(tails), key,
+                              jnp.float32(0.025), neg_prob, neg_alias)
+    assert float(loss_ref) == pytest.approx(float(loss_sw), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(new_sw["tables"][1]),
+                               np.asarray(new_ref["tables"][1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_sw["tables"][0]),
+                               np.asarray(new_ref["tables"][0]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pool_step_sweep_matches_xla():
     """make_graph_pool_step(sweep_vertex=True) must produce the same vertex
     table as the XLA scatter path when heads are sorted and SGD is used."""

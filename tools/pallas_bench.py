@@ -370,19 +370,6 @@ EXPERIMENTS = {
 }
 
 
-if __name__ == "__main__":
-    names = sys.argv[1:] or list(EXPERIMENTS)
-    for name in names:
-        t0 = time.time()
-        try:
-            EXPERIMENTS[name]()
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"experiment": name, "error": repr(e)[:300]}),
-                  flush=True)
-        sys.stderr.write("%s done in %.0fs\n" % (name, time.time() - t0))
-        sys.stderr.flush()
-
-
 def e_pallas_sweep_mxu():
     """Tile-sweep scatter with MXU one-hot accumulate
     (ops/pallas_scatter.sweep_scatter_add): the structural alternative to
@@ -482,3 +469,74 @@ def e_sweep_verify():
 
 
 EXPERIMENTS["sweep_verify"] = e_sweep_verify
+
+
+def e_sweep_unsorted():
+    """Unsorted-id front-end (argsort + row permute + sweep) — models the
+    CONTEXT/tail side of the pool step, where ids never arrive sorted.
+    Compare against xla_scatter at the same N to decide the
+    GRAPHVITE_SWEEP_CONTEXT auto-rule."""
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add_unsorted
+
+    for tile, tdtype, pdtype in ((1024, jnp.float32, None),
+                                 (1024, jnp.bfloat16, jnp.bfloat16),
+                                 (2048, jnp.bfloat16, jnp.bfloat16)):
+        @functools.partial(jax.jit, donate_argnums=0,
+                           static_argnames=("tile", "pdtype"))
+        def run(table, salt, tile=tile, pdtype=pdtype):
+            def body(t, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(5),
+                                         salt * 131 + i)
+                ids = jax.random.randint(key, (N,), 0, V)
+                g = jnp.full((N, D), 1e-6, jnp.float32)
+                return sweep_scatter_add_unsorted(
+                    t, ids, g, tile_rows=tile, chunk=512,
+                    permute_dtype=pdtype), 0.0
+            table, _ = jax.lax.scan(body, table,
+                                    jnp.arange(EP, dtype=jnp.int32))
+            return table
+
+        name = "sweep_unsorted_t%d_%s%s" % (
+            tile, tdtype.__name__, "_bf16perm" if pdtype is not None else "")
+        try:
+            dt, _ = chain_time(run, jnp.zeros((V, D), tdtype), ())
+            report(name, dt)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"experiment": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+def e_sweep_unsorted_verify():
+    """Compiled-mode correctness of the unsorted front-end on device."""
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add_unsorted
+
+    rng = np.random.default_rng(3)
+    n = N - 137                    # non-chunk-multiple: exercises padding
+    ids = (rng.random(n) ** 2.5 * V).astype(np.int32)
+    upd = rng.normal(size=(n, D)).astype(np.float32) * 1e-3
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    want = np.asarray(jnp.asarray(table).at[jnp.asarray(ids)].add(
+        jnp.asarray(upd)))
+    got = np.asarray(sweep_scatter_add_unsorted(
+        jnp.asarray(table), jnp.asarray(ids), jnp.asarray(upd)))
+    err = np.max(np.abs(got - want))
+    print(json.dumps({"experiment": "sweep_unsorted_verify",
+                      "max_abs_err": float(err),
+                      "ok": bool(err < 1e-3)}), flush=True)
+
+
+EXPERIMENTS["sweep_unsorted"] = e_sweep_unsorted
+EXPERIMENTS["sweep_unsorted_verify"] = e_sweep_unsorted_verify
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(EXPERIMENTS)
+    for name in names:
+        t0 = time.time()
+        try:
+            EXPERIMENTS[name]()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"experiment": name, "error": repr(e)[:300]}),
+                  flush=True)
+        sys.stderr.write("%s done in %.0fs\n" % (name, time.time() - t0))
+        sys.stderr.flush()
