@@ -461,76 +461,6 @@ def v_scatter_scaling():
     _scatter_bench("scatter_V1M_2x_updates", V, 2 * N)
 
 
-def v_pool_step_stacked():
-    """ONE stacked [2V, D] table (vertex rows [0,V), context rows [V,2V)):
-    the two table gathers fuse into one 2B-row gather and the two scatters
-    into one (2B + GM)-row scatter — tests whether XLA's per-scatter fixed
-    cost (sort setup + table scan scheduling) is worth recovering."""
-    h, t, nprob, nalias = edges()
-    ht = jnp.stack([h, t], axis=1)
-    n_slices = int(ht.shape[0]) // B
-    G = _steps.graph_pool_groups(B)
-    M = 256
-    neg_w = NEG_W * K / M
-
-    def step(table, pair, key, lr, nprob, nalias):
-        heads = pair[:, 0]
-        tails = pair[:, 1] + V
-        bg = B // G
-        k1, k2 = jax.random.split(key)
-        u1 = jax.random.uniform(k1, (G, M))
-        u2 = jax.random.uniform(k2, (G, M))
-        n = nprob.shape[0]
-        idx = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
-        pool = jnp.where(u2 < nprob[idx], idx, nalias[idx]) + V
-
-        ids_all = jnp.concatenate([heads, tails, pool.reshape(-1)])
-        rows = table[ids_all].astype(jnp.float32)            # ONE gather
-        v = rows[:B].reshape(G, bg, -1)
-        c = rows[B:2 * B].reshape(G, bg, -1)
-        P = rows[2 * B:].reshape(G, M, -1)
-
-        pos = jnp.sum(v * c, axis=-1)
-        neg = jnp.einsum("gbd,gmd->gbm", v, P,
-                         preferred_element_type=jnp.float32)
-        gpos = jax.nn.sigmoid(pos) - 1.0
-        gneg = jax.nn.sigmoid(neg) * neg_w
-        dv = (gpos[..., None] * c
-              + jnp.einsum("gbm,gmd->gbd", gneg, P,
-                           preferred_element_type=jnp.float32))
-        dc = gpos[..., None] * v
-        dP = jnp.einsum("gbm,gbd->gmd", gneg, v,
-                        preferred_element_type=jnp.float32)
-        grads = jnp.concatenate([dv.reshape(B, -1), dc.reshape(B, -1),
-                                 dP.reshape(G * M, -1)])
-        loss = jnp.mean(jax.nn.softplus(-pos))
-        # ONE scatter
-        return table.at[ids_all].add(
-            (-0.02 * grads).astype(table.dtype), mode="drop"), loss
-
-    def body(st, key, ht, nprob, nalias):
-        ks, kt = jax.random.split(key)
-        off = jax.random.randint(ks, (), 0, n_slices) * B
-        pair = jax.lax.dynamic_slice_in_dim(ht, off, B, axis=0)
-        return step(st, pair, kt, 0.02, nprob, nalias)
-
-    run = _scan_runner(body)
-    for tag, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        key = jax.random.PRNGKey(0)
-        table = jax.random.uniform(key, (2 * V, D), minval=-1.0 / D,
-                                   maxval=1.0 / D,
-                                   dtype=jnp.float32).astype(dt_)
-        dt, _ = chain_time(run, table, (ht, nprob, nalias))
-        report("pool_step_stacked_%s" % tag, dt)
-
-
-VARIANTS.update({
-    "hbm_copy": v_hbm_copy,
-    "gather_shapes": v_gather_shapes,
-    "scatter_scaling": v_scatter_scaling,
-})
-
-
 def v_blocked_scatter():
     """Does a [P, cap, D] arena with per-batch dynamic block indexing beat a
     flat scatter at V=4M? (The ops/blocked.py keep-or-delete measurement:
