@@ -798,7 +798,11 @@ class GraphSolver(SolverBase):
             step_fn = _steps.make_graph_pool_step(
                 self.optimizer, self.num_negative, float(negative_weight),
                 pool_groups=pool_groups, trust=trust,
-                sweep_vertex=use_sweep, sweep_context=use_sweep_ctx)
+                sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
+                sweep_tile=int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
+                                                1024)),
+                sweep_chunk=int(_os3.environ.get("GRAPHVITE_SWEEP_CHUNK",
+                                                 512)))
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,

@@ -376,10 +376,17 @@ def e_pallas_sweep_mxu():
     per-row scatter — 2 full-table passes + N*T*D MACs, duplicate-agnostic."""
     from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
 
+    # matmul cost ~ 2*D*(N*T + V*C) once per-tile counts fall below C:
+    # small chunks should win at bench touch densities (N/V ~ 0.16)
     for tile, chunk, dtype in ((1024, 512, jnp.float32),
                                (2048, 512, jnp.float32),
                                (1024, 256, jnp.float32),
-                               (2048, 512, jnp.bfloat16)):
+                               (1024, 128, jnp.float32),
+                               (512, 128, jnp.float32),
+                               (2048, 512, jnp.bfloat16),
+                               (1024, 256, jnp.bfloat16),
+                               (1024, 128, jnp.bfloat16),
+                               (512, 128, jnp.bfloat16)):
         npad = N + (-N) % chunk
 
         @functools.partial(jax.jit, donate_argnums=0,
@@ -414,12 +421,15 @@ def e_sweep_mxu_presorted():
     and no gradient permute in the measured path)."""
     from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
 
-    chunk = 512
-    npad = N + (-N) % chunk
-    for tile, dtype in ((1024, jnp.float32), (2048, jnp.bfloat16)):
+    for tile, chunk, dtype in ((1024, 512, jnp.float32),
+                               (1024, 128, jnp.float32),
+                               (2048, 512, jnp.bfloat16),
+                               (1024, 128, jnp.bfloat16)):
+        npad = N + (-N) % chunk
+
         @functools.partial(jax.jit, donate_argnums=0,
-                           static_argnames=("tile",))
-        def run(table, salt, tile=tile):
+                           static_argnames=("tile", "chunk"))
+        def run(table, salt, tile=tile, chunk=chunk):
             def body(t, i):
                 key = jax.random.fold_in(jax.random.PRNGKey(3),
                                          salt * 131 + i)
@@ -435,7 +445,8 @@ def e_sweep_mxu_presorted():
                                     jnp.arange(EP, dtype=jnp.int32))
             return table
 
-        name = "sweep_mxu_presorted_t%d_%s" % (tile, dtype.__name__)
+        name = "sweep_mxu_presorted_t%d_c%d_%s" % (tile, chunk,
+                                                   dtype.__name__)
         try:
             dt, _ = chain_time(run, jnp.zeros((V, D), dtype), ())
             report(name, dt)
