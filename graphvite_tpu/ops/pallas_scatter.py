@@ -43,8 +43,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _make_kernel(tile_rows: int, chunk: int, dim: int, n_pad: int,
-                 out_dtype, acc_dtype):
+def _make_kernel(tile_rows: int, chunk: int, dim: int, out_dtype, acc_dtype):
     T, C, D = tile_rows, chunk, dim
 
     def kernel(lo_ref, cnt_ref, lid_ref, upd_ref, tile_ref, out_ref,
@@ -57,18 +56,29 @@ def _make_kernel(tile_rows: int, chunk: int, dim: int, n_pad: int,
         rows = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
 
+        # chunks are C-ALIGNED in the global update stream (the TPU DMA
+        # engine rejects a lane-dim-1 [C, 1] id copy — the ids therefore
+        # live as [n/C, C] rows, one aligned chunk per row); boundary rows
+        # belonging to neighbor tiles are masked out of the one-hot below.
+        # Dynamic-start DMAs additionally need 8-ALIGNED sublane starts, so
+        # the id fetch copies the aligned 8-row group containing the chunk
+        # and reads the chunk's row by dynamic sublane index.
+        first = lo // C
+
         def chunk_body(c, _):
-            start = lo + c * C
+            ch = first + c
+            g = (ch // 8) * 8
             cp_u = pltpu.make_async_copy(
-                upd_ref.at[pl.ds(start, C), :], slab, sem_u)
+                upd_ref.at[pl.ds(ch * C, C), :], slab, sem_u)
             cp_i = pltpu.make_async_copy(
-                lid_ref.at[pl.ds(start, C), :], lids, sem_i)
+                lid_ref.at[pl.ds(g, 8), :], lids, sem_i)
             cp_u.start()
             cp_i.start()
             cp_i.wait()
             cp_u.wait()
-            lid_row = lids[:, 0].reshape(1, C)
-            valid = (cols + c * C) < cnt
+            lid_row = lids[pl.ds(ch - g, 1), :]
+            pos = ch * C + cols
+            valid = (pos >= lo) & (pos < lo + cnt)
             one_hot = jnp.where((rows == lid_row) & valid, 1.0, 0.0)
             one_hot = one_hot.astype(slab.dtype)
             acc[:] = acc[:] + jnp.dot(one_hot, slab[:],
@@ -77,7 +87,7 @@ def _make_kernel(tile_rows: int, chunk: int, dim: int, n_pad: int,
 
         @pl.when(cnt > 0)
         def _():
-            jax.lax.fori_loop(0, _cdiv(cnt, C), chunk_body, 0)
+            jax.lax.fori_loop(0, _cdiv(lo + cnt, C) - first, chunk_body, 0)
 
         out_ref[:] = acc[:].astype(out_dtype)
 
@@ -117,22 +127,24 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
     lo = lo_hi[:-1].astype(jnp.int32)
     cnt = (lo_hi[1:] - lo_hi[:-1]).astype(jnp.int32)
     lid = (sorted_ids - tile_of * T).astype(jnp.int32)
-    # guarantee slab DMA stays in bounds: the last chunk of the last tile
-    # starts below n, so start + C <= n + C; pad by one chunk of zeros
-    lid_pad = jnp.concatenate(
-        [lid, jnp.zeros((C,), jnp.int32)]).reshape(n + C, 1)
-    upd_pad = jnp.concatenate(
-        [sorted_upd, jnp.zeros((C, d), sorted_upd.dtype)])
+    # one C-aligned chunk per ROW (lane dim C); padded to a multiple of 8
+    # rows so the kernel's aligned 8-row group DMA stays in bounds
+    n_chunks = n // C
+    lid2d = lid.reshape(n_chunks, C)
+    pad_rows = (-n_chunks) % 8
+    if pad_rows:
+        lid2d = jnp.concatenate(
+            [lid2d, jnp.zeros((pad_rows, C), jnp.int32)])
 
     acc_dtype = jnp.float32
-    kernel = _make_kernel(T, C, d, n + C, table.dtype, acc_dtype)
+    kernel = _make_kernel(T, C, d, table.dtype, acc_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # lo, cnt
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      #lid [N+C, 1]
-            pl.BlockSpec(memory_space=pl.ANY),      #upd [N+C, D]
+            pl.BlockSpec(memory_space=pl.ANY),      #lid [N/C, C]
+            pl.BlockSpec(memory_space=pl.ANY),      #upd [N, D]
             pl.BlockSpec((T, d), lambda i, lo, cnt: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -141,7 +153,7 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
         scratch_shapes=[
             pltpu.VMEM((T, d), acc_dtype),
             pltpu.VMEM((C, d), sorted_upd.dtype),
-            pltpu.VMEM((C, 1), jnp.int32),
+            pltpu.VMEM((8, C), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -152,7 +164,7 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
         out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
         input_output_aliases={4: 0},
         interpret=interpret,
-    )(lo, cnt, lid_pad, upd_pad, table)
+    )(lo, cnt, lid2d, sorted_upd, table)
 
 
 def sweep_scatter_add_unsorted(table, ids, upd, *, tile_rows: int = 1024,
