@@ -801,8 +801,11 @@ class GraphSolver(SolverBase):
                 sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
                 sweep_tile=int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
                                                 1024)),
+                # c128 measured fastest on v5e: 12.2 ns/row bf16 vs 14.1
+                # at c512 (campaign2 sweep_micro; smaller chunks cut the
+                # per-tile boundary matmul waste at bench touch density)
                 sweep_chunk=int(_os3.environ.get("GRAPHVITE_SWEEP_CHUNK",
-                                                 512)))
+                                                 128)))
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
@@ -810,11 +813,37 @@ class GraphSolver(SolverBase):
         if self.sampler_backend == "device":
             num_partition = self.num_partition
             if num_partition in (auto, None):
-                # blocked episodes bound the scatter's table-scan cost, but
-                # the current XLA lowering copies the arena on every
-                # dynamic_update_slice inside the loop, which costs more
-                # than it saves — opt-in only until that improves
+                # Auto #partition (reference solver.h:366-376 reborn):
+                # in-budget tables ALWAYS train flat — the blocked A/B
+                # measured flat 14x faster at V=4M (PERF.md) because XLA's
+                # bounded scatter never repays the block staging. Blocked
+                # episodes auto-engage only for HBM OVERFLOW: smallest P
+                # whose two resident shards (head + tail partition, the
+                # reference worker's one-slot cache) fit the budget.
                 num_partition = 1
+                itemsize = np.dtype(self.float_type.name).itemsize
+                n_moms = (len(self.state["moments"][0])
+                          + len(self.state["moments"][1]))
+                demand = (num_vertex * self.dim
+                          * (2 * itemsize + n_moms * 4)
+                          + 16 * num_edge)
+                hbm_budget = float(_os3.environ.get(
+                    "GRAPHVITE_HBM_BYTES", 12e9))
+                if demand > hbm_budget and augmentation_step == 1:
+                    P_auto = 2
+                    while P_auto < 64 and 2 * demand / P_auto > hbm_budget:
+                        P_auto *= 2
+                    logger.info(
+                        "HBM demand %.1f GB > budget %.1f GB: blocked "
+                        "episodes with %d^2 host-staged blocks",
+                        demand / 1e9, hbm_budget / 1e9, P_auto)
+                    num_partition = P_auto
+                elif demand > hbm_budget:
+                    logger.warning(
+                        "HBM demand %.1f GB > budget %.1f GB but walk "
+                        "augmentation needs the flat path; set "
+                        "num_partition>1 with augmentation_step=1 to "
+                        "stage blocks", demand / 1e9, hbm_budget / 1e9)
             if augmentation_step == 1 and int(num_partition) > 1:
                 self._train_loop_blocked(
                     GRAPH_MODELS[model], num_epoch, int(num_partition),
