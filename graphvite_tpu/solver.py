@@ -758,9 +758,13 @@ class GraphSolver(SolverBase):
         # Pallas tile-sweep scatter for the vertex side (ops/pallas_scatter):
         # needs a SORTED head stream (sorted edge stream, aug=1), an SGD
         # (0-moment) rule, and a table big enough that the XLA per-row
-        # scatter beats 2 sequential table passes
+        # scatter beats 2 sequential table passes. Default ON where the
+        # gates hold, TPU only (compiled Mosaic; interpret mode on CPU is
+        # for tests): measured +9.5% end-to-end on the flagship bench
+        # (15.1M vs 13.8M samples/s) and 12.2 vs 22.2 ns/row in isolation.
         from graphvite_tpu.optim import DENSE_UPDATE_ELEMS
-        use_sweep = (_os3.environ.get("GRAPHVITE_SWEEP_SCATTER", "0") != "0"
+        use_sweep = (_os3.environ.get("GRAPHVITE_SWEEP_SCATTER", "1") != "0"
+                     and jax.default_backend() == "tpu"
                      and self.optimizer.num_moment == 0
                      and negative_sharing
                      and augmentation_step == 1

@@ -93,3 +93,27 @@ def test_host_master_overflow_mode(monkeypatch):
     y = np.r_[np.ones(len(si)), np.zeros(len(sc))]
     auc = ev.rank_sum_auc(np.r_[si, sc], y)
     assert auc > 0.9, auc
+
+
+def test_overflow_auto_rule_selects_blocked(monkeypatch, caplog):
+    """num_partition=auto must route to blocked host-staged episodes when
+    the table demand exceeds GRAPHVITE_HBM_BYTES (reference auto
+    #partition, solver.h:366-376) and stay flat when it fits."""
+    g = _two_block_graph()
+    # demand at dim=32 f32: V*32*(2*4) + 16*E ~ tiny; force overflow
+    monkeypatch.setenv("GRAPHVITE_HBM_BYTES", "1000")
+    s = GraphSolver(dim=32, seed=0)
+    s.build(g, num_negative=1, batch_size=512, episode_size=4)
+    s.train(model="LINE", num_epoch=5, augmentation_step=1,
+            negative_weight=1.0, log_frequency=10**9)
+    assert np.isfinite(s.vertex_embeddings).all()
+    # the blocked loop leaves its partition cache behind; the flat loop
+    # does not touch it
+    assert getattr(s, "_blocked_key", None) is not None
+
+    monkeypatch.setenv("GRAPHVITE_HBM_BYTES", "1e12")
+    s2 = GraphSolver(dim=32, seed=0)
+    s2.build(g, num_negative=1, batch_size=512, episode_size=4)
+    s2.train(model="LINE", num_epoch=5, augmentation_step=1,
+             negative_weight=1.0, log_frequency=10**9)
+    assert getattr(s2, "_blocked_key", None) is None
