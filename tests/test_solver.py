@@ -176,3 +176,52 @@ def test_kg_pooled_path_learns():
     true = np.stack([h, (h + 1) % 41, np.zeros(40, int)], axis=1)
     fake = np.stack([h, (h + 17) % 41, np.zeros(40, int)], axis=1)
     assert (solver.predict(true) > solver.predict(fake)).mean() > 0.8
+
+
+def test_save_embeddings_roundtrip_and_speed(tmp_path):
+    """word2vec export (graph.cuh:796-805): single-pass vectorized write.
+    Correctness: parse the text+binary format back and compare rows.
+    Speed: size-scaled — 200k x 64 must export in under 3 s (the budget
+    that puts a 1M x 128 table under 10 s)."""
+    import time
+
+    g = two_blocks()
+    solver = GraphSolver(dim=8)
+    solver.build(g, batch_size=256, episode_size=2)
+    solver.train(model="LINE", num_epoch=1, log_frequency=10**9)
+    path = tmp_path / "emb.w2v"
+    solver.save_embeddings(str(path))
+
+    emb = np.asarray(solver.vertex_embeddings, np.float32)
+    raw = path.read_bytes()
+    header, rest = raw.split(b"\n", 1)
+    n, d = map(int, header.split())
+    assert (n, d) == emb.shape
+    row_bytes = 4 * d
+    off = 0
+    for i in range(n):
+        sp = rest.index(b" ", off)
+        name = rest[off:sp].decode()
+        assert name == g.id2name[i]
+        vec = np.frombuffer(rest[sp + 1:sp + 1 + row_bytes], np.float32)
+        np.testing.assert_allclose(vec, emb[i], rtol=1e-6)
+        assert rest[sp + 1 + row_bytes:sp + 2 + row_bytes] == b"\n"
+        off = sp + 2 + row_bytes
+
+    # size-scaled timing on a synthetic big table
+    big_n, big_d = 200_000, 64
+
+    class FakeGraph:
+        num_vertex = big_n
+        id2name = ["v%d" % i for i in range(big_n)]
+
+    fast = GraphSolver.__new__(GraphSolver)
+    fast.dim = big_d
+    fast.graph = FakeGraph()
+    fast.state = {"tables": (np.zeros((big_n, big_d), np.float32),),
+                  "moments": ((),)}
+    start = time.perf_counter()
+    GraphSolver.save_embeddings(fast, str(tmp_path / "big.w2v"))
+    elapsed = time.perf_counter() - start
+    assert elapsed < 3.0, "export of %dx%d took %.1fs" % (big_n, big_d,
+                                                          elapsed)
