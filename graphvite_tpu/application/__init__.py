@@ -314,16 +314,16 @@ class KnowledgeGraphApplication(ApplicationMixin):
             H_, R_ = self.name_map((e2i, r2i), (H, R))
             T_ = [0] * len(R_)
         H_, R_, T_ = (np.asarray(x, dtype=np.int64) for x in (H_, R_, T_))
-        scores = ev.kg_score_all(
+        # streaming top-k: the [n, V] score matrix never materializes —
+        # candidate blocks are scanned on-device with a running top-k merge
+        # (ev.kg_topk), so host memory is O(n * k) at any entity count
+        vals, ids = ev.kg_topk(
             self.solver.model, self.solver.entity_embeddings,
             self.solver.relation_embeddings, H_, R_, T_, target,
-            self._margin_or_l3())
-        recalls = []
+            self._margin_or_l3(), k=k)
         id2e = self.graph.id2entity
-        for row in scores:
-            idx = np.argpartition(row, len(row) - k)[-k:]
-            order = np.argsort(row[idx])[::-1]
-            recalls.append([(id2e[e], float(row[e])) for e in idx[order]])
+        recalls = [[(id2e[int(e)], float(v)) for e, v in zip(irow, vrow)]
+                   for irow, vrow in zip(ids, vals)]
         if save_file:
             ext = os.path.splitext(save_file)[1]
             if ext == ".txt":

@@ -171,6 +171,104 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
+def _make_topk_fn(model_name, target, b, cand_block, nblk, num_entity,
+                  margin_or_l3, k):
+    """Jitted streaming top-k scorer: candidate blocks are scanned on-device
+    with a running [b, k] top-k merge (lax.top_k over the carried heap +
+    the block), so the [b, V] score matrix NEVER materializes — host memory
+    stays O(n * k) regardless of V (the scaling fix for entity_prediction
+    over the reference's memory-sized predict pools,
+    application.py:650-785, :948-961)."""
+    model = KG_MODELS[model_name]
+    bilinear = model_name in BILINEAR_MODELS
+
+    @jax.jit
+    def topk(ent_pad, rel, hh, rr, tt):
+        dim = ent_pad.shape[1]
+        fixed = ent_pad[tt if target == "head" else hh]      # [b, D]
+        rrow = rel[rr]
+        if bilinear:
+            ones = jnp.ones((b, 1), ent_pad.dtype)
+            hrow = ent_pad[hh][:, None, :]
+            trow = ent_pad[tt][:, None, :]
+            gh, gt, _ = model.backward(hrow, trow, rrow[:, None, :],
+                                       ones, 0.0)
+            q = (gh if target == "head" else gt)[:, 0, :]    # [b, D]
+        ent_blocks = ent_pad.reshape(nblk, cand_block, dim)
+
+        def blk(carry, xs):
+            tv, ti = carry
+            blk_i, blk_ent = xs
+            base = blk_i * cand_block
+            gidx = base + jnp.arange(cand_block, dtype=jnp.int32)
+            valid = gidx < num_entity
+            if bilinear:
+                s = jnp.dot(q, blk_ent.T,
+                            preferred_element_type=jnp.float32)
+            else:
+                c = blk_ent[None, :, :]
+                f = fixed[:, None, :]
+                r_ = rrow[:, None, :]
+                s = (model.score(c, f, r_, margin_or_l3)
+                     if target == "head"
+                     else model.score(f, c, r_, margin_or_l3))
+            s = jnp.where(valid[None, :], s, -jnp.inf)
+            cat_v = jnp.concatenate([tv, s], axis=1)
+            cat_i = jnp.concatenate(
+                [ti, jnp.broadcast_to(gidx[None, :], (b, cand_block))],
+                axis=1)
+            nv, sel = jax.lax.top_k(cat_v, k)
+            ni = jnp.take_along_axis(cat_i, sel, axis=1)
+            return (nv, ni), None
+
+        init = (jnp.full((b, k), -jnp.inf, jnp.float32),
+                jnp.zeros((b, k), jnp.int32))
+        (tv, ti), _ = jax.lax.scan(
+            blk, init, (jnp.arange(nblk, dtype=jnp.int32), ent_blocks))
+        return tv, ti
+
+    return topk
+
+
+def kg_topk(model_name, entity, relation, H, R, T, target, margin_or_l3,
+            k=10):
+    """Top-k candidate entities per query, streamed in bounded memory.
+    Returns (values [n, k] f32, ids [n, k] i32), best first."""
+    num_entity, dim = entity.shape
+    bilinear = model_name in BILINEAR_MODELS
+    if bilinear:
+        cand_block = 8192
+        b = 1024
+    else:
+        cand_block = 2048
+        b = max(min(int(512e6 / (cand_block * dim * 4)), 512), 16)
+    nblk = -(-num_entity // cand_block)
+    ent_pad = jnp.zeros((nblk * cand_block, dim), jnp.float32).at[
+        :num_entity].set(jnp.asarray(entity, jnp.float32))
+    rel_dev = jnp.asarray(relation, jnp.float32)
+    fn = _make_topk_fn(model_name, target, b, cand_block, nblk, num_entity,
+                       float(margin_or_l3), int(k))
+    H = np.asarray(H, np.int64)
+    R = np.asarray(R, np.int64)
+    T = np.asarray(T, np.int64)
+    n = len(R)
+    vals = np.empty((n, k), np.float32)
+    ids = np.empty((n, k), np.int32)
+    for i in range(0, n, b):
+        sl = slice(i, min(i + b, n))
+        m = sl.stop - sl.start
+        pad = b - m
+        hh = np.concatenate([H[sl], np.zeros(pad, np.int64)])
+        rr = np.concatenate([R[sl], np.zeros(pad, np.int64)])
+        tt = np.concatenate([T[sl], np.zeros(pad, np.int64)])
+        tv, ti = fn(ent_pad, rel_dev, jnp.asarray(hh, jnp.int32),
+                    jnp.asarray(rr, jnp.int32), jnp.asarray(tt, jnp.int32))
+        vals[sl] = np.asarray(tv)[:m]
+        ids[sl] = np.asarray(ti)[:m]
+    return vals, ids
+
+
+@functools.lru_cache(maxsize=32)
 def _make_rank_fn(model_name, side, b, cand_block, nblk, num_entity,
                   margin_or_l3):
     """Jitted streaming rank kernel: never materializes [b, V] on host.

@@ -167,6 +167,346 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
     )(lo, cnt, lid2d, sorted_upd, table)
 
 
+def _make_gather_kernel(tile_rows: int, chunk: int, dim: int, v: int,
+                        out_dtype):
+    """Kernel for sweep_gather_sorted: grid over id CHUNKS; per chunk,
+    stream the table tiles its ids span (double-buffered manual DMA,
+    dynamic trip count) and assemble the C output rows with one-hot
+    matmuls: out[j] = sum_t [lid_t[j] == r] * tile_t[r]."""
+    T, C, D = tile_rows, chunk, dim
+    last_base = v - T  # 8-aligned clamp for the ragged last tile (v % 8 == 0)
+
+    def kernel(t0_ref, span_ref, id_ref, table_ref, out_ref,
+               acc, buf0, buf1, idbuf, sem0, sem1, sem_i):
+        i = pl.program_id(0)
+        t0 = t0_ref[i]
+        span = span_ref[i]
+        # ids arrive as [n_chunks, C] rows in ANY memory; dynamic-start
+        # DMAs need 8-aligned sublane starts, so fetch the aligned 8-row
+        # group and read this chunk's row by dynamic sublane index
+        g = (i // 8) * 8
+        cp_i = pltpu.make_async_copy(id_ref.at[pl.ds(g, 8), :], idbuf,
+                                     sem_i)
+        cp_i.start()
+
+        def base_of(k):
+            return jnp.minimum((t0 + k) * T, last_base)
+
+        def copy(k, buf, sem):
+            # both min() operands are 8-aligned (T % 8 == 0, v % 8 == 0)
+            # but Mosaic cannot prove it through the min — assert the
+            # alignment for the dynamic-start DMA
+            start = pl.multiple_of(base_of(k), 8)
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(start, T), :], buf, sem)
+
+        copy(0, buf0, sem0).start()
+        acc[:] = jnp.zeros((C, D), jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
+        cp_i.wait()
+        id_row = idbuf[pl.ds(i - g, 1), :]                # [1, C]
+
+        # double-buffered dynamic-trip tile stream; buffer parity is
+        # unrolled with pl.when (a traced slot cannot index the scratch)
+        def body(k, _):
+            lid_row = id_row - base_of(k)
+            # match on the LOGICAL tile: the clamped last-tile fetch window
+            # overlaps the previous tile's rows, so a bare range check
+            # would double-count ids in the overlap
+            mine = (id_row // T) == (t0 + k)
+            one_hot = jnp.where((rows == lid_row) & mine, 1.0, 0.0)  # [T, C]
+
+            def step_with(buf, sem, nbuf, nsem):
+                copy(k, buf, sem).wait()
+
+                @pl.when(k + 1 < span)
+                def _():
+                    copy(k + 1, nbuf, nsem).start()
+
+                # acc[C, D] += one_hot^T [C, T] @ tile [T, D] via a
+                # dim-0/dim-0 contraction (no explicit transpose)
+                acc[:] = acc[:] + jax.lax.dot_general(
+                    one_hot.astype(buf.dtype), buf[:],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(k % 2 == 0)
+            def _():
+                step_with(buf0, sem0, buf1, sem1)
+
+            @pl.when(k % 2 == 1)
+            def _():
+                step_with(buf1, sem1, buf0, sem0)
+
+            return 0
+
+        jax.lax.fori_loop(0, span, body, 0)
+        out_ref[0] = acc[:].astype(out_dtype)
+
+    return kernel
+
+
+def sweep_gather_sorted(table, sorted_ids, *, tile_rows: int = 256,
+                        chunk: int = 128, interpret: bool = None,
+                        out_dtype=None):
+    """out[j] = table[sorted_ids[j]] for ASCENDING ids — a streaming gather.
+
+    XLA's row gather is per-row-op bound (~11 ns/row on v5e for 256-byte
+    rows); for a SORTED id stream the rows live in a narrow moving window
+    of the table, so streaming whole tiles sequentially (~819 GB/s) and
+    selecting rows with one-hot matmuls on the MXU is faster wherever the
+    stream is dense (touched tiles ~ N * T / V rows apart). The id stream
+    the solver feeds this (sorted edge-stream heads) qualifies.
+
+    Requirements: ids ascending in [0, V), V % 8 == 0, V >= tile_rows,
+    N % chunk == 0 (pad with any in-range id; slice the output).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    v, d = table.shape
+    n = sorted_ids.shape[0]
+    T, C = int(tile_rows), int(chunk)
+    if n % C:
+        raise ValueError("id count %d must be a multiple of chunk %d"
+                         % (n, C))
+    if v % 8 or v < T:
+        raise ValueError("table rows %d must be 8-aligned and >= tile %d"
+                         % (v, T))
+    n_chunks = n // C
+    ids2d = sorted_ids.astype(jnp.int32).reshape(n_chunks, C)
+    t0 = ids2d[:, 0] // T
+    # the ragged last tile is fetched from the clamped base v - T, which
+    # covers every id >= (v // T) * T as well
+    span = (jnp.minimum(ids2d[:, -1] // T, _cdiv(v, T) - 1) - t0 + 1)
+    # pad the id rows to a multiple of 8 so the kernel's aligned 8-row
+    # group DMA stays in bounds
+    pad_rows = (-n_chunks) % 8
+    ids2d_pad = (jnp.concatenate([ids2d,
+                                  jnp.zeros((pad_rows, C), jnp.int32)])
+                 if pad_rows else ids2d)
+    out_dtype = out_dtype or table.dtype
+    kernel = _make_gather_kernel(T, C, d, v, out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # t0, span
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # ids [N/C, C]
+            pl.BlockSpec(memory_space=pl.ANY),            # table
+        ],
+        out_specs=pl.BlockSpec((1, C, d), lambda i, t0, span: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C, d), jnp.float32),
+            pltpu.VMEM((T, d), table.dtype),
+            pltpu.VMEM((T, d), table.dtype),
+            pltpu.VMEM((8, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, C, d), out_dtype),
+        interpret=interpret,
+    )(t0.astype(jnp.int32), span.astype(jnp.int32), ids2d_pad, table)
+    return out.reshape(n, d)
+
+
+def _make_moment_kernel(tile_rows: int, chunk: int, dim: int, out_dtype,
+                        opt, lr_scale: float):
+    """Kernel for sweep_scatter_update: accumulate [gsum | gsq | count] per
+    tile row with one-hot matmuls, then apply ONE closed-form moment update
+    per touched row (the optim.moment_delta math inlined over VMEM tiles —
+    the reference's fused in-kernel Momentum/AdaGrad/RMSprop/Adam updates,
+    gpu/graph.cuh:104-242, rebuilt as a table sweep)."""
+    from graphvite_tpu.optim import moment_delta
+
+    T, C, D = tile_rows, chunk, dim
+    Wd = 2 * D + 1
+    n_mom = opt.num_moment
+
+    def kernel(*refs):
+        # refs: lo, cnt, lr, lid, slab_src, tile, moms..., out, out_moms...,
+        #       acc, slab, lids, sem_u, sem_i
+        lo_ref, cnt_ref, lr_ref, lid_ref, upd_ref, tile_ref = refs[:6]
+        mom_refs = refs[6:6 + n_mom]
+        out_ref = refs[6 + n_mom]
+        out_mom_refs = refs[7 + n_mom:7 + 2 * n_mom]
+        acc, slab, lids, sem_u, sem_i = refs[7 + 2 * n_mom:]
+        t = pl.program_id(0)
+        lo = lo_ref[t]
+        cnt = cnt_ref[t]
+        lr = lr_ref[0]
+        acc[:] = jnp.zeros((T, Wd), jnp.float32)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+        first = lo // C
+
+        def chunk_body(c, _):
+            ch = first + c
+            g = (ch // 8) * 8
+            cp_u = pltpu.make_async_copy(
+                upd_ref.at[pl.ds(ch * C, C), :], slab, sem_u)
+            cp_i = pltpu.make_async_copy(
+                lid_ref.at[pl.ds(g, 8), :], lids, sem_i)
+            cp_u.start()
+            cp_i.start()
+            cp_i.wait()
+            cp_u.wait()
+            lid_row = lids[pl.ds(ch - g, 1), :]
+            pos = ch * C + cols
+            valid = (pos >= lo) & (pos < lo + cnt)
+            one_hot = jnp.where((rows == lid_row) & valid, 1.0, 0.0)
+            one_hot = one_hot.astype(slab.dtype)
+            acc[:] = acc[:] + jnp.dot(one_hot, slab[:],
+                                      preferred_element_type=jnp.float32)
+            return 0
+
+        @pl.when(cnt > 0)
+        def _():
+            jax.lax.fori_loop(0, _cdiv(lo + cnt, C) - first, chunk_body, 0)
+
+        gsum = acc[:, :D]
+        gsq = acc[:, D:2 * D]
+        counts = acc[:, 2 * D]
+        touched = (counts > 0)[:, None]
+        c = jnp.maximum(counts, 1.0)[:, None]
+        moms = tuple(m[:].astype(jnp.float32) for m in mom_refs)
+        delta, new_moms = moment_delta(opt, lr, gsum, moms, c, gsq)
+        tile = tile_ref[:]
+        out_ref[:] = jnp.where(
+            touched, tile - (lr_scale * delta).astype(out_dtype), tile)
+        for mr, omr, nm in zip(mom_refs, out_mom_refs, new_moms):
+            omr[:] = jnp.where(touched, nm.astype(mr.dtype), mr[:])
+
+    return kernel
+
+
+def sweep_scatter_update(table, moments, sorted_ids, sorted_grads, opt, lr,
+                         *, entry_counts=None, entry_sqs=None,
+                         lr_scale: float = 1.0, tile_rows: int = 1024,
+                         chunk: int = 512, interpret: bool = None):
+    """Moment-optimizer row update as ONE table sweep: the Pallas analog of
+    optim._apply_row_updates_dense for tables too big for the dense path.
+
+    table:        [V, D]; moments: tuple of [V, D] f32 (len opt.num_moment)
+    sorted_ids:   [N] int32 ascending (pad with id V-1, zero grads/sq and
+                  ZERO entry_counts so pads register no touch)
+    sorted_grads: [N, D] per-entry summed regularized gradients
+    entry_counts: [N] per-entry touch counts (default 1 per live entry —
+                  callers who pad MUST pass explicit counts with 0 pads)
+    entry_sqs:    [N, D] per-entry summed squared per-touch gradients
+                  (default grad**2)
+
+    Semantics match apply_row_updates' dedup path: per unique row, gsum /
+    gsq / count accumulate and one closed-form c-touch moment update is
+    applied; untouched rows (count 0) pass through, moments undecayed.
+    """
+    if opt.num_moment == 0:
+        return (sweep_scatter_add(table, sorted_ids, -(lr * lr_scale)
+                                  * sorted_grads, tile_rows=tile_rows,
+                                  chunk=chunk, interpret=interpret),
+                moments)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    v, d = table.shape
+    n = sorted_ids.shape[0]
+    T, C = int(tile_rows), int(chunk)
+    if n % C:
+        raise ValueError("update count %d must be a multiple of chunk %d"
+                         % (n, C))
+    n_tiles = _cdiv(v, T)
+    n_mom = opt.num_moment
+    assert len(moments) == n_mom
+
+    g32 = sorted_grads.astype(jnp.float32)
+    sq = g32 * g32 if entry_sqs is None else entry_sqs.astype(jnp.float32)
+    cnt = (jnp.ones((n,), jnp.float32) if entry_counts is None
+           else entry_counts.astype(jnp.float32))
+    slab_src = jnp.concatenate([g32, sq, cnt[:, None]], axis=1)  # [N, 2D+1]
+
+    tile_of = (sorted_ids // T).astype(jnp.int32)
+    r = jnp.arange(n_tiles + 1, dtype=tile_of.dtype)
+    lo_hi = jnp.searchsorted(tile_of, r)
+    lo = lo_hi[:-1].astype(jnp.int32)
+    cnt_t = (lo_hi[1:] - lo_hi[:-1]).astype(jnp.int32)
+    lid = (sorted_ids - tile_of * T).astype(jnp.int32)
+    n_chunks = n // C
+    lid2d = lid.reshape(n_chunks, C)
+    pad_rows = (-n_chunks) % 8
+    if pad_rows:
+        lid2d = jnp.concatenate(
+            [lid2d, jnp.zeros((pad_rows, C), jnp.int32)])
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+
+    Wd = 2 * d + 1
+    kernel = _make_moment_kernel(T, C, d, table.dtype, opt, float(lr_scale))
+
+    tspec = pl.BlockSpec((T, d), lambda i, lo, cnt, lr: (i, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lo, cnt, lr
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # lid [N/C, C]
+            pl.BlockSpec(memory_space=pl.ANY),      # slab [N, 2D+1]
+            tspec,                                  # table tile
+        ] + [tspec] * n_mom,                        # moment tiles
+        out_specs=[tspec] * (1 + n_mom),
+        scratch_shapes=[
+            pltpu.VMEM((T, Wd), jnp.float32),
+            pltpu.VMEM((C, Wd), jnp.float32),
+            pltpu.VMEM((8, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((v, d), table.dtype)]
+        + [jax.ShapeDtypeStruct((v, d), m.dtype) for m in moments],
+        input_output_aliases={5: 0,
+                              **{6 + i: 1 + i for i in range(n_mom)}},
+        interpret=interpret,
+    )(lo, cnt_t, lr_arr, lid2d, slab_src, table, *moments)
+    return outs[0], tuple(outs[1:])
+
+
+def sweep_scatter_update_unsorted(table, moments, ids, grads, opt, lr, *,
+                                  entry_counts=None, entry_sqs=None,
+                                  lr_scale: float = 1.0,
+                                  tile_rows: int = 1024, chunk: int = 512,
+                                  interpret: bool = None):
+    """sweep_scatter_update over UNSORTED ids (argsort front-end; the
+    context/tail side). Pads to a chunk multiple with id V-1 zero entries
+    whose counts are 0 (no touch)."""
+    v, d = table.shape
+    n = ids.shape[0]
+    cnt = (jnp.ones((n,), jnp.float32) if entry_counts is None
+           else entry_counts.astype(jnp.float32))
+    sq = (grads.astype(jnp.float32) ** 2 if entry_sqs is None
+          else entry_sqs.astype(jnp.float32))
+    pad = (-n) % chunk
+    if pad:
+        ids = jnp.concatenate(
+            [ids.astype(jnp.int32), jnp.full((pad,), v - 1, jnp.int32)])
+        grads = jnp.concatenate([grads, jnp.zeros((pad, d), grads.dtype)])
+        sq = jnp.concatenate([sq, jnp.zeros((pad, d), sq.dtype)])
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad,), cnt.dtype)])
+    order = jnp.argsort(ids)
+    return sweep_scatter_update(
+        table, moments, jnp.take(ids, order),
+        jnp.take(grads, order, axis=0), opt, lr,
+        entry_counts=jnp.take(cnt, order),
+        entry_sqs=jnp.take(sq, order, axis=0), lr_scale=lr_scale,
+        tile_rows=tile_rows, chunk=chunk, interpret=interpret)
+
+
 def sweep_scatter_add_unsorted(table, ids, upd, *, tile_rows: int = 1024,
                                chunk: int = 512, interpret: bool = None,
                                permute_dtype=None):

@@ -150,7 +150,9 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
                          negative_weight: float, pool_size: int = 256,
                          pool_groups: int = 8, trust: float = 0.25,
                          sweep_vertex: bool = False, sweep_tile: int = 1024,
-                         sweep_chunk: int = 512, sweep_context: bool = False):
+                         sweep_chunk: int = 512, sweep_context: bool = False,
+                         sweep_gather: bool = False,
+                         sweep_gather_tile: int = 256):
     """Shared-negative-pool graph step (negative sharing).
 
     Instead of K per-sample noise draws (gpu/graph.cuh:48-58 draws per
@@ -187,7 +189,18 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
 
         # f32 compute over (possibly bf16) gathered rows
-        v = vertex[heads].reshape(G, bg, -1).astype(jnp.float32)  # [G, Bg, D]
+        if sweep_gather and b % sweep_chunk == 0:
+            # SORTED heads ride the streaming sweep gather (tiles DMA'd
+            # sequentially + one-hot matmul row select) instead of XLA's
+            # ~11 ns/row per-row gather — solver gates this on the sorted
+            # edge stream and an 8-aligned table
+            from graphvite_tpu.ops.pallas_scatter import sweep_gather_sorted
+            v = sweep_gather_sorted(
+                vertex, heads.astype(jnp.int32),
+                tile_rows=sweep_gather_tile, chunk=sweep_chunk
+            ).reshape(G, bg, -1).astype(jnp.float32)
+        else:
+            v = vertex[heads].reshape(G, bg, -1).astype(jnp.float32)
         c = context[tails].reshape(G, bg, -1).astype(jnp.float32)
         P = context[pool_ids].astype(jnp.float32)             # [G, M, D]
 
@@ -266,18 +279,31 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
             c_sqs = jnp.concatenate(
                 [(dc ** 2).reshape(b, -1), p_sqs.reshape(G * M, -1)])
 
-        if (sweep_vertex and opt.num_moment == 0
-                and b % sweep_chunk == 0):
+        if sweep_vertex and b % sweep_chunk == 0:
             # Pallas tile-sweep scatter (ops/pallas_scatter): the solver
             # enables this only when heads arrive SORTED (sorted edge
             # stream) and the mask is constant 1 (edge-stream mode) — the
             # kernel needs ascending ids and drops nothing
-            from graphvite_tpu.ops.pallas_scatter import sweep_scatter_add
-            delta = (lr * dv.reshape(b, -1)).astype(jnp.float32)
-            new_vertex = sweep_scatter_add(
-                vertex, heads.astype(jnp.int32), -delta,
-                tile_rows=sweep_tile, chunk=sweep_chunk)
-            new_v_moms = v_moms
+            if opt.num_moment == 0:
+                from graphvite_tpu.ops.pallas_scatter import (
+                    sweep_scatter_add)
+                delta = (lr * dv.reshape(b, -1)).astype(jnp.float32)
+                new_vertex = sweep_scatter_add(
+                    vertex, heads.astype(jnp.int32), -delta,
+                    tile_rows=sweep_tile, chunk=sweep_chunk)
+                new_v_moms = v_moms
+            else:
+                # moment rules ride the same sweep: [gsum|gsq|count] slab,
+                # one closed-form c-touch update per tile row — one table +
+                # moment pass replaces the dedup chain's sort/permute +
+                # per-row moment gather/scatter (gpu/graph.cuh:104-242)
+                from graphvite_tpu.ops.pallas_scatter import (
+                    sweep_scatter_update)
+                new_vertex, new_v_moms = sweep_scatter_update(
+                    vertex, v_moms, heads.astype(jnp.int32),
+                    dv.reshape(b, -1), opt, lr, entry_counts=v_counts,
+                    entry_sqs=v_sqs, tile_rows=sweep_tile,
+                    chunk=sweep_chunk)
         else:
             new_vertex, new_v_moms = apply_row_updates(
                 vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
@@ -288,21 +314,30 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
              pool_ids.reshape(-1)])
         ctx_grads = jnp.concatenate(
             [dc.reshape(b, -1), dP.reshape(G * M, -1)])
-        if sweep_context and opt.num_moment == 0:
+        if sweep_context:
             # unsorted-id sweep (argsort front-end): tails never arrive
             # sorted, so this pays an extra sort + row permute — the
             # solver gates it behind its own measured auto-rule/env knob.
             # Solver guarantees edge-stream mode here (mask constant 1, so
             # _mask_ids is the identity and every id is in range).
-            from graphvite_tpu.ops.pallas_scatter import (
-                sweep_scatter_add_unsorted)
-            cdelta = (lr * ctx_grads).astype(jnp.float32)
-            new_context = sweep_scatter_add_unsorted(
-                context, ctx_ids.astype(jnp.int32), -cdelta,
-                tile_rows=sweep_tile, chunk=sweep_chunk,
-                permute_dtype=(jnp.bfloat16
-                               if context.dtype == jnp.bfloat16 else None))
-            new_c_moms = c_moms
+            if opt.num_moment == 0:
+                from graphvite_tpu.ops.pallas_scatter import (
+                    sweep_scatter_add_unsorted)
+                cdelta = (lr * ctx_grads).astype(jnp.float32)
+                new_context = sweep_scatter_add_unsorted(
+                    context, ctx_ids.astype(jnp.int32), -cdelta,
+                    tile_rows=sweep_tile, chunk=sweep_chunk,
+                    permute_dtype=(jnp.bfloat16
+                                   if context.dtype == jnp.bfloat16
+                                   else None))
+                new_c_moms = c_moms
+            else:
+                from graphvite_tpu.ops.pallas_scatter import (
+                    sweep_scatter_update_unsorted)
+                new_context, new_c_moms = sweep_scatter_update_unsorted(
+                    context, c_moms, ctx_ids.astype(jnp.int32), ctx_grads,
+                    opt, lr, entry_counts=c_counts, entry_sqs=c_sqs,
+                    tile_rows=sweep_tile, chunk=sweep_chunk)
         else:
             new_context, new_c_moms = apply_row_updates(
                 context, c_moms, ctx_ids, ctx_grads, opt, lr,

@@ -323,13 +323,14 @@ class ShardedKGTrainer:
             e_moms_f, r_moms_f = state["moments"]
             # relations: kGlobal delta accumulation over the mesh. The
             # reference sums all workers' deltas (scatter_sub,
-            # solver.h:1410-1420); with Adam that multiplies the effective
-            # relation step by W vs single-chip dynamics, so the default
-            # here is the mean (GRAPHVITE_REL_MERGE=sum restores parity).
+            # solver.h:1410-1420). A/B on the math fixture (RESULTS.md,
+            # round 3): at W=8 sum reaches MRR 1.00 vs mean's 0.973 and
+            # sum's final loss is lower at W=4 — the default follows the
+            # reference (GRAPHVITE_REL_MERGE=mean for the 1/W average).
             import os as _os
-            scale = (1.0 if _os.environ.get("GRAPHVITE_REL_MERGE",
-                                            "mean") == "sum"
-                     else 1.0 / W)
+            scale = (1.0 / W if _os.environ.get("GRAPHVITE_REL_MERGE",
+                                                "sum") == "mean"
+                     else 1.0)
             rel_out = rel0 + scale * jax.lax.psum(rel_f - rel0, axis)
             arena_out = ent_f.reshape(2, cap, dim)
             e_moms_out = tuple(m.reshape(2, cap, dim) for m in e_moms_f)

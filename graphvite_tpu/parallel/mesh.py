@@ -237,6 +237,113 @@ def make_sharded_graph_step(model, opt: Optimizer, num_negative: int,
 
 
 
+class ReplicatedEdgeTrainer:
+    """Naive-parallel training for SMALL shared tables over a mesh —
+    the multi-GPU LargeVis mode (visualization.cuh:417-596 runs the same
+    SolverMixin machinery; at visualization scale the coordinate table is
+    tiny, so the TPU-native translation is the reference's naive_parallel
+    (solver.h:383, 526-529): full replicas per device, each training its
+    own positive stream, episode deltas psum-merged at write-back).
+
+    step_fn: a (h, t)-style step `(state, heads, tails, key, lr,
+    *neg_state, mask=None)` over state {"tables": (table,), "moments":
+    ((m...),)} — make_vis_pool_step / make_vis_train_step qualify.
+    Moments stay device-local (per-GPU moment caches).
+    """
+
+    def __init__(self, mesh: Mesh, step_fn, opt: Optimizer,
+                 batch_size: int, ep_batches: int,
+                 positive_reuse: int = 1, axis: str = "p"):
+        self.mesh = mesh
+        self.axis = axis
+        self.opt = opt
+        self.batch_size = int(batch_size)
+        self.ep_batches = int(ep_batches)
+        n_dev = mesh.devices.size
+        self.n_dev = n_dev
+        B = self.batch_size
+        EP = self.ep_batches
+        R = max(int(positive_reuse), 1)
+
+        def device_episode(tables, moments, edge_arrays, neg_state,
+                           batch_id0, num_batch_total, keys):
+            key0 = keys[0]
+            eprob, ealias, eheads, etails = edge_arrays
+            start = tables
+            state = {"tables": tables,
+                     "moments": jax.tree_util.tree_map(lambda m: m[0],
+                                                       moments)}
+
+            def body(carry, i):
+                st = carry
+                # all devices consume batches concurrently: global sample
+                # progress advances n_dev per local batch
+                lr = opt.schedule_lr(batch_id0 + i * n_dev, num_batch_total)
+                key = jax.random.fold_in(key0, i)
+                ks, kt = jax.random.split(key)
+                u = jax.random.uniform(ks, (2, B))
+                n_edge = eprob.shape[0]
+                idx = jnp.minimum((u[0] * n_edge).astype(jnp.int32),
+                                  n_edge - 1)
+                eid = jnp.where(u[1] < eprob[idx], idx, ealias[idx])
+                new_st, loss = step_fn(st, eheads[eid], etails[eid], kt,
+                                       lr, *neg_state)
+                return new_st, loss
+
+            state, losses = jax.lax.scan(
+                body, state, jnp.arange(EP, dtype=jnp.int32))
+            # MEAN delta merge: with full replication EVERY row receives W
+            # episode deltas; summing multiplies the effective Adam step by
+            # W, which oscillates at LargeVis's lr=0.5 from W=4 (measured:
+            # separation 0.3-vs-5.0, divergence at short episodes). The
+            # mean keeps single-chip step dynamics while W streams sample
+            # W x more edges per wall-second.
+            merged = tuple(
+                s0 + jax.lax.pmean(s - s0, axis)
+                for s0, s in zip(start, state["tables"]))
+            moments_out = jax.tree_util.tree_map(lambda m: m[None],
+                                                 state["moments"])
+            return merged, moments_out, losses[None]
+
+        pspec = P(axis)
+        self._episode_fn = jax.jit(
+            jax.shard_map(
+                device_episode, mesh=mesh,
+                in_specs=(P(), pspec, P(), P(), P(), P(), pspec),
+                out_specs=(P(), pspec, pspec),
+                check_vma=False),
+            donate_argnums=(0, 1))
+
+    def init_state(self, tables_np):
+        """tables_np: tuple of [*, D] host arrays (replicated); per-device
+        f32 moment slabs (leading device axis)."""
+        rep = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P(self.axis))
+        tables = tuple(jax.device_put(t, rep) for t in tables_np)
+        moments = tuple(
+            tuple(jax.device_put(
+                np.zeros((self.n_dev,) + t.shape, np.float32), shard)
+                for _ in range(self.opt.num_moment))
+            for t in tables_np)
+        return tables, moments
+
+    def init_edges(self, graph):
+        t = AliasTable(graph.edge_weights)
+        arrays = (np.asarray(t.prob, np.float32),
+                  np.asarray(t.alias, np.int32),
+                  np.asarray(graph.edge_heads, np.int32),
+                  np.asarray(graph.edge_tails, np.int32))
+        rep = NamedSharding(self.mesh, P())
+        return tuple(jax.device_put(a, rep) for a in arrays)
+
+    def run_episode(self, tables, moments, edge_arrays, neg_state,
+                    batch_id0, num_batch_total, seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.n_dev)
+        return self._episode_fn(tables, moments, edge_arrays, neg_state,
+                                jnp.int32(batch_id0),
+                                jnp.int32(num_batch_total), keys)
+
+
 class ShardedGraphTrainer:
     """Episode-scheduled sharded training, fully device-resident.
 

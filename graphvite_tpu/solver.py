@@ -776,8 +776,12 @@ class GraphSolver(SolverBase):
         sweep_enabled = (sweep_env == "1"
                          or (sweep_env != "0"
                              and jax.default_backend() == "tpu"))
+        # moment rules ride the sweep too (sweep_scatter_update carries
+        # gsum/gsq/count and applies the closed-form c-touch update per
+        # tile row): on v5e the sweep's 1+n_mom sequential table passes
+        # beat the dedup chain's argsort + per-row moment gather/scatter
+        # wherever the table exceeds the dense-path threshold
         use_sweep = (sweep_enabled
-                     and self.optimizer.num_moment == 0
                      and negative_sharing
                      and augmentation_step == 1
                      and self.sampler_backend == "device"
@@ -789,13 +793,26 @@ class GraphSolver(SolverBase):
                                                 sort_stream=True))
             use_sweep = bool(sampler.sorted_stream)
         self._sweep_scatter = use_sweep
+        # streaming sweep GATHER for the sorted head side (measured on v5e:
+        # XLA's per-row gather pays ~11 ns/row; the tile stream + one-hot
+        # select rides sequential HBM bandwidth). Needs an 8-row-aligned
+        # table for the clamped last-tile DMA.
+        # 256 measured fastest on v5e at the full bench length (campaign
+        # r3: 15.75/15.68M vs 512's 15.40M and 1024's ~12.8M samples/s)
+        gather_tile = int(_os3.environ.get("GRAPHVITE_SWEEP_GATHER_TILE",
+                                           256))
+        use_sweep_gather = (use_sweep
+                            and _os3.environ.get("GRAPHVITE_SWEEP_GATHER",
+                                                 "1") != "0"
+                            and num_vertex % 8 == 0
+                            and num_vertex >= gather_tile)
+        self._sweep_gather = use_sweep_gather
         # context-side sweep (unsorted ids, argsort front-end): same gates
         # minus the sorted stream — tails are never sorted, the kernel
         # front-end sorts. Opt-in until device-measured (the sort + row
         # permute must beat the XLA per-row scatter's margin).
         use_sweep_ctx = (_os3.environ.get(
                              "GRAPHVITE_SWEEP_CONTEXT", "0") != "0"
-                         and self.optimizer.num_moment == 0
                          and negative_sharing
                          and augmentation_step == 1
                          and self.sampler_backend == "device"
@@ -815,6 +832,8 @@ class GraphSolver(SolverBase):
                 self.optimizer, self.num_negative, float(negative_weight),
                 pool_groups=pool_groups, trust=trust,
                 sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
+                sweep_gather=use_sweep_gather,
+                sweep_gather_tile=gather_tile,
                 sweep_tile=int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
                                                 1024)),
                 # c128 measured fastest on v5e: 12.2 ns/row bf16 vs 14.1
@@ -903,11 +922,22 @@ class GraphSolver(SolverBase):
                          positive_reuse, log_frequency)
 
     def predict(self, heads, tails=None):
-        """Score (head, tail) pairs; accepts an (n, 2) array or two arrays."""
+        """Score (head, tail) pairs; accepts an (n, 2) array or two arrays.
+
+        Overflow tables (HBM-overflow training keeps the canonical state
+        host-resident as numpy) are scored in CHUNKS: only the touched rows
+        are host-gathered and shipped per chunk, never the whole table —
+        the reference's predict pools + memory-aware eval batches
+        (solver.h:660-802, application.py:948-961) reborn as row streaming.
+        """
         if tails is None:
             arr = np.asarray(heads)
             heads, tails = arr[:, 0], arr[:, 1]
         model = GRAPH_MODELS[self.model or "LINE"]
+        vertex, context = self.state["tables"]
+        if isinstance(vertex, np.ndarray):
+            return self._predict_host_rows(
+                model, vertex, context, np.asarray(heads), np.asarray(tails))
         # memoize the jitted scorer: a fresh lambda per call is a fresh jit
         # cache entry — repeated predict() calls (ranking loops) would
         # retrace every time (VERDICT round-1 weak item 8)
@@ -917,9 +947,32 @@ class GraphSolver(SolverBase):
                 model, v, c, h, t).astype(jnp.float32))
             self._predict_cache = cache = (model.name, fn)
         fn = cache[1]
-        return np.asarray(fn(self.state["tables"][0], self.state["tables"][1],
+        return np.asarray(fn(vertex, context,
                              jnp.asarray(heads, jnp.int32),
                              jnp.asarray(tails, jnp.int32)))
+
+    def _predict_host_rows(self, model, vertex, context, heads, tails,
+                           chunk=1 << 18):
+        """Chunked scoring against host-resident (overflow) tables: per
+        chunk, numpy-gather the [chunk, D] head/tail rows, score on device.
+        Fixed chunk shape (zero-padded tail) -> one compiled scorer."""
+        cache = getattr(self, "_predict_rows_cache", None)
+        if cache is None or cache[0] != (model.name, chunk):
+            fn = jax.jit(lambda vr, cr: model.score(vr, cr)
+                         .astype(jnp.float32))
+            self._predict_rows_cache = cache = ((model.name, chunk), fn)
+        fn = cache[1]
+        n = heads.shape[0]
+        out = np.empty(n, np.float32)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            vr = np.zeros((chunk, vertex.shape[1]), np.float32)
+            cr = np.zeros((chunk, context.shape[1]), np.float32)
+            vr[:hi - lo] = vertex[heads[lo:hi]]
+            cr[:hi - lo] = context[tails[lo:hi]]
+            out[lo:hi] = np.asarray(
+                fn(jnp.asarray(vr), jnp.asarray(cr)))[:hi - lo]
+        return out
 
     def save_embeddings(self, file_name):
         """word2vec text+binary format (graph.cuh:796-805).
@@ -1176,10 +1229,18 @@ class KnowledgeGraphSolver(SolverBase):
         }
 
     def predict(self, samples):
-        """samples: (n, 3) array of (head, tail, relation) ids -> logits."""
+        """samples: (n, 3) array of (head, tail, relation) ids -> logits.
+
+        Host-resident (overflow) entity tables are scored by chunked row
+        gathers — the whole table never lands in HBM (see
+        GraphSolver.predict)."""
         arr = np.asarray(samples)
         mdl = KG_MODELS[self.model]
         margin_or_l3 = self.margin if mdl.uses_margin else self.l3_regularization
+        entity, relation = self.state["tables"]
+        if isinstance(entity, np.ndarray):
+            return self._predict_host_rows(mdl, margin_or_l3, entity,
+                                           np.asarray(relation), arr)
         # memoized jitted scorer (see GraphSolver.predict)
         cache = getattr(self, "_predict_cache", None)
         if cache is None or cache[0] != (mdl.name, margin_or_l3):
@@ -1191,12 +1252,36 @@ class KnowledgeGraphSolver(SolverBase):
         chunk = 1 << 20
         for i in range(0, arr.shape[0], chunk):
             part = arr[i:i + chunk]
-            out.append(np.asarray(fn(self.state["tables"][0],
-                                     self.state["tables"][1],
+            out.append(np.asarray(fn(entity, relation,
                                      jnp.asarray(part[:, 0], jnp.int32),
                                      jnp.asarray(part[:, 1], jnp.int32),
                                      jnp.asarray(part[:, 2], jnp.int32))))
         return np.concatenate(out)
+
+    def _predict_host_rows(self, mdl, margin_or_l3, entity, relation, arr,
+                           chunk=1 << 17):
+        cache = getattr(self, "_predict_rows_cache", None)
+        if cache is None or cache[0] != (mdl.name, margin_or_l3, chunk):
+            fn = jax.jit(lambda h, t, r: mdl.score(h, t, r, margin_or_l3)
+                         .astype(jnp.float32))
+            self._predict_rows_cache = cache = (
+                (mdl.name, margin_or_l3, chunk), fn)
+        fn = cache[1]
+        n = arr.shape[0]
+        d = entity.shape[1]
+        out = np.empty(n, np.float32)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            hr = np.zeros((chunk, d), np.float32)
+            tr = np.zeros((chunk, d), np.float32)
+            rr = np.zeros((chunk, relation.shape[1]), np.float32)
+            hr[:hi - lo] = entity[arr[lo:hi, 0]]
+            tr[:hi - lo] = entity[arr[lo:hi, 1]]
+            rr[:hi - lo] = relation[arr[lo:hi, 2]]
+            out[lo:hi] = np.asarray(
+                fn(jnp.asarray(hr), jnp.asarray(tr),
+                   jnp.asarray(rr)))[:hi - lo]
+        return out
 
 
 class VisualizationSolver(SolverBase):
@@ -1276,6 +1361,10 @@ class VisualizationSolver(SolverBase):
             step_fn = _steps.make_vis_train_step(
                 LargeVis, self.optimizer, self.num_negative,
                 float(negative_weight), trust=trust)
+        if self.num_worker > 1:
+            self._train_loop_mesh_vis(step_fn, neg_state, num_epoch,
+                                      log_frequency)
+            return
         if self.sampler_backend == "device":
             sampler = self._get_sampler(
                 ("edge",), lambda: DeviceEdgeSampler.build(self.graph))
@@ -1290,3 +1379,74 @@ class VisualizationSolver(SolverBase):
         sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))
         self._train_loop(step_fn, sampler, False, neg_state, num_epoch,
                          positive_reuse, log_frequency)
+
+    def _train_loop_mesh_vis(self, step_fn, neg_state, num_epoch,
+                             log_frequency):
+        """Multi-device LargeVis (ref visualization.cuh:417-596 trains over
+        4 GPUs through the same solver core): the single shared coordinate
+        table is SMALL at visualization scale, so the TPU-native mode is
+        the reference's naive_parallel — replicas per device, independent
+        positive streams, psum-merged episode deltas
+        (parallel.mesh.ReplicatedEdgeTrainer)."""
+        from graphvite_tpu.parallel.mesh import (ReplicatedEdgeTrainer,
+                                                 make_mesh)
+
+        W = self.num_worker
+        batch_size, _, _ = self._batch_plan()
+        self.effective_batch = batch_size
+        num_edge = self.graph.num_edge
+        self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
+        # SHORT episodes: a LargeVis layout is rotation/reflection
+        # symmetric, so replicas that drift independently for long
+        # converge toward differently-oriented layouts whose summed deltas
+        # cancel. Frequent merges keep the replicas coherent (the
+        # reference's write-back cadence is likewise per-episode-block,
+        # solver.h:629-654).
+        import os as _osv
+        ep_cap = int(_osv.environ.get("GRAPHVITE_VIS_MESH_EP", 4))
+        ep_batches = max(min(self._episode_batches(), ep_cap,
+                             max(self.num_batch // W, 1)), 1)
+
+        key = (id(self.graph), "vismesh", self.optimizer,
+               self.num_negative, W, batch_size, ep_batches)
+        if getattr(self, "_vismesh_key", None) != key:
+            mesh = make_mesh(W)
+            self._vismesh_trainer = ReplicatedEdgeTrainer(
+                mesh, step_fn, self.optimizer, batch_size, ep_batches)
+            self._vismesh_edges = self._vismesh_trainer.init_edges(
+                self.graph)
+            self._vismesh_key = key
+        trainer = self._vismesh_trainer
+        tables, moments = trainer.init_state(
+            tuple(np.asarray(t) for t in self.state["tables"]))
+        neg_dev = tuple(jax.device_put(
+            np.asarray(a), jax.sharding.NamedSharding(
+                trainer.mesh, jax.sharding.PartitionSpec()))
+            for a in neg_state)
+        logger.info("training LargeVis on %d devices: %d batches of %d "
+                    "(episodes of %d)", W, self.num_batch, batch_size,
+                    ep_batches)
+        next_log = log_frequency
+        losses_acc = []
+        seed = self.seed
+        while self.batch_id < self.num_batch:
+            tables, moments, losses = trainer.run_episode(
+                tables, moments, self._vismesh_edges, neg_dev,
+                self.batch_id, self.num_batch, seed + self.batch_id)
+            self.batch_id += ep_batches * W
+            losses_acc.append(np.asarray(losses).reshape(-1))
+            if self.batch_id >= next_log or self.batch_id >= self.num_batch:
+                l = np.concatenate(losses_acc)
+                logger.info("Batch id: %d / %d, loss = %.6g",
+                            min(self.batch_id, self.num_batch),
+                            self.num_batch,
+                            float(l.mean()) if l.size else 0.0)
+                losses_acc = []
+                next_log = self.batch_id + log_frequency
+        # per-device moments: keep device 0's slab as the canonical state
+        # (the reference's per-GPU moment caches are likewise never merged)
+        self.state = {
+            "tables": tuple(jnp.asarray(np.asarray(t)) for t in tables),
+            "moments": (tuple(jnp.asarray(np.asarray(m)[0])
+                              for m in moments[0]),),
+        }

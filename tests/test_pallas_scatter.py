@@ -212,3 +212,155 @@ def test_solver_sweep_gate_end_to_end(monkeypatch, tmp_path):
     assert solver._sweep_scatter is True
     emb = np.asarray(solver.state["tables"][0])
     assert np.all(np.isfinite(emb))
+
+
+@pytest.mark.parametrize("opt_type", ["Adam", "AdaGrad", "Momentum",
+                                      "RMSprop"])
+def test_sweep_moment_update_matches_dedup(opt_type):
+    """sweep_scatter_update must reproduce apply_row_updates' moment
+    semantics exactly: per unique row, summed gsum/gsq/count then ONE
+    closed-form c-touch update; untouched rows pass through undecayed."""
+    from graphvite_tpu.optim import Optimizer, apply_row_updates
+    from graphvite_tpu.ops.pallas_scatter import sweep_scatter_update
+
+    v, d, n = 2048, 64, 1024
+    rng = np.random.default_rng(5)
+    opt = Optimizer(type=opt_type, lr=0.01, weight_decay=0.0)
+    ids = np.sort((rng.random(n) ** 2 * v).astype(np.int32))
+    grads = rng.normal(size=(n, d)).astype(np.float32)
+    counts = rng.integers(1, 4, n).astype(np.float32)
+    sqs = np.abs(rng.normal(size=(n, d))).astype(np.float32)
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    moms = tuple(np.abs(rng.normal(size=(v, d))).astype(np.float32)
+                 for _ in range(opt.num_moment))
+    lr = 0.01
+
+    want_t, want_m = apply_row_updates(
+        jnp.asarray(table), tuple(jnp.asarray(m) for m in moms),
+        jnp.asarray(ids), jnp.asarray(grads), opt, jnp.float32(lr),
+        entry_counts=jnp.asarray(counts), entry_sqs=jnp.asarray(sqs))
+    got_t, got_m = sweep_scatter_update(
+        jnp.asarray(table), tuple(jnp.asarray(m) for m in moms),
+        jnp.asarray(ids), jnp.asarray(grads), opt, jnp.float32(lr),
+        entry_counts=jnp.asarray(counts), entry_sqs=jnp.asarray(sqs),
+        tile_rows=512, chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-5, atol=2e-5)
+    for gm, wm in zip(got_m, want_m):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(wm),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_sweep_moment_update_unsorted_and_padding():
+    """Unsorted front-end: argsort + zero-count pads must register no touch
+    (id V-1's row unchanged unless genuinely touched)."""
+    from graphvite_tpu.optim import Optimizer, apply_row_updates
+    from graphvite_tpu.ops.pallas_scatter import (
+        sweep_scatter_update_unsorted)
+
+    v, d, n = 1024, 32, 700    # n not a chunk multiple -> pads
+    rng = np.random.default_rng(9)
+    opt = Optimizer(type="Adam", lr=0.02, weight_decay=0.0)
+    ids = (rng.random(n) ** 2 * (v - 1)).astype(np.int32)  # never V-1
+    grads = rng.normal(size=(n, d)).astype(np.float32)
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    moms = tuple(np.zeros((v, d), np.float32) for _ in range(2))
+    lr = 0.02
+
+    want_t, want_m = apply_row_updates(
+        jnp.asarray(table), tuple(jnp.asarray(m) for m in moms),
+        jnp.asarray(ids), jnp.asarray(grads), opt, jnp.float32(lr))
+    got_t, got_m = sweep_scatter_update_unsorted(
+        jnp.asarray(table), tuple(jnp.asarray(m) for m in moms),
+        jnp.asarray(ids), jnp.asarray(grads), opt, jnp.float32(lr),
+        tile_rows=512, chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-5, atol=2e-5)
+    for gm, wm in zip(got_m, want_m):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(wm),
+                                   rtol=2e-5, atol=2e-5)
+    # V-1 row untouched: pads must not have decayed its moments or moved it
+    assert np.array_equal(np.asarray(got_t)[v - 1], table[v - 1])
+
+
+def test_solver_sweep_gate_moment_optimizer(monkeypatch, tmp_path):
+    """The sweep gate now admits moment rules: Adam + GRAPHVITE_SWEEP_SCATTER=1
+    routes the vertex side through sweep_scatter_update end to end."""
+    import graphvite_tpu.optim as optim_mod
+    from graphvite_tpu.ops.device_sampler import DeviceEdgeSampler
+    from graphvite_tpu.solver import GraphSolver
+    from graphvite_tpu.graph import Graph
+
+    monkeypatch.setenv("GRAPHVITE_SWEEP_SCATTER", "1")
+    monkeypatch.setenv("GRAPHVITE_SWEEP_CONTEXT", "1")
+    monkeypatch.setattr(optim_mod, "DENSE_UPDATE_ELEMS", 1000)
+    monkeypatch.setattr(DeviceEdgeSampler, "MIN_STREAM_BLOCKS", 1)
+
+    rng = np.random.default_rng(4)
+    v, e = 512, 4096
+    lines = ["%d\t%d" % (rng.integers(0, v), rng.integers(0, v))
+             for _ in range(e)]
+    f = tmp_path / "edges.txt"
+    f.write_text("\n".join(lines))
+    g = Graph()
+    g.load_file(str(f), normalization=False)
+
+    solver = GraphSolver(dim=16)
+    solver.build(g, optimizer={"type": "Adam", "lr": 1e-3},
+                 num_negative=1, batch_size=2048, episode_size=2)
+    solver.train(model="LINE", num_epoch=4, augmentation_step=1,
+                 log_frequency=10**9)
+    assert solver._sweep_scatter is True
+    assert solver._sweep_context is True
+    emb = np.asarray(solver.state["tables"][0])
+    assert np.all(np.isfinite(emb))
+    # moments actually updated (the sweep wrote them back)
+    m1 = np.asarray(solver.state["moments"][0][0])
+    assert np.any(m1 != 0)
+
+
+@pytest.mark.parametrize("v,d,n,tile,chunk", [
+    (4096, 128, 2048, 512, 256),
+    (4000, 128, 1024, 256, 128),    # ragged last tile (4000 % 256 != 0)
+    (1024, 64, 4096, 1024, 512),    # v == tile; hub dups
+])
+def test_sweep_gather_matches_xla(v, d, n, tile, chunk):
+    from graphvite_tpu.ops.pallas_scatter import sweep_gather_sorted
+
+    rng = np.random.default_rng(6)
+    ids = np.sort((rng.random(n) ** 3 * v).astype(np.int32))
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    want = np.asarray(jnp.asarray(table)[jnp.asarray(ids)])
+    got = sweep_gather_sorted(jnp.asarray(table), jnp.asarray(ids),
+                              tile_rows=tile, chunk=chunk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_sweep_gather_sparse_spans_and_last_rows():
+    """Chunks spanning MANY tiles (sparse tail ids) and ids in the ragged
+    final rows must both resolve (the clamped last-tile base)."""
+    from graphvite_tpu.ops.pallas_scatter import sweep_gather_sorted
+
+    v, d = 8192, 32
+    ids = np.asarray(sorted([0, 1, 511, 1024, 3000, 5000, 7000, 8191] * 16),
+                     np.int32)
+    table = np.arange(v * d, dtype=np.float32).reshape(v, d)
+    got = sweep_gather_sorted(jnp.asarray(table), jnp.asarray(ids),
+                              tile_rows=256, chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), table[ids])
+
+
+def test_sweep_gather_bf16():
+    from graphvite_tpu.ops.pallas_scatter import sweep_gather_sorted
+
+    v, d, n = 2048, 128, 1024
+    rng = np.random.default_rng(8)
+    ids = np.sort(rng.integers(0, v, n).astype(np.int32))
+    table = rng.normal(size=(v, d)).astype(np.float32)
+    tb = jnp.asarray(table).astype(jnp.bfloat16)
+    got = sweep_gather_sorted(tb, jnp.asarray(ids), tile_rows=512,
+                              chunk=256, interpret=True)
+    want = np.asarray(tb)[ids]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=1e-2)

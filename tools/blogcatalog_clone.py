@@ -79,6 +79,7 @@ def main():
     num_epoch = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     float_type = sys.argv[2] if len(sys.argv) > 2 else "float32"
     model = sys.argv[3] if len(sys.argv) > 3 else "LINE"
+    batch_size = int(sys.argv[4]) if len(sys.argv) > 4 else 100000
     t0 = time.time()
     edges, labels = generate()
     rng = np.random.default_rng(1)
@@ -94,7 +95,7 @@ def main():
     g = Graph().load_edge_list(
         [(str(u), str(v)) for u, v in train_e], as_undirected=True)
     solver = GraphSolver(dim=128, float_type=float_type)
-    solver.build(g, num_negative=1, batch_size=100000, episode_size=500)
+    solver.build(g, num_negative=1, batch_size=batch_size, episode_size=500)
     kw = dict(p=0.25, q=0.25) if model == "node2vec" else {}
     solver.train(model=model, num_epoch=num_epoch, augmentation_step=2,
                  random_walk_length=40, negative_weight=5.0,
@@ -130,9 +131,14 @@ def main():
     orig = np.asarray([v for v in range(V) if str(v) in name2id])
     f1 = ev.linear_classification(solver.vertex_embeddings[ids],
                                   labels[orig], 0.2, seed=0)
+    import os
     print(json.dumps({
         "config": "demo/quick_start.yaml (BlogCatalog-statistics clone)", "model": model,
         "float_type": float_type,
+        "num_epoch": num_epoch,
+        "batch_size": batch_size,
+        "trust": os.environ.get("GRAPHVITE_TRUST", "default(0.25)"),
+        "neg_sharing": os.environ.get("GRAPHVITE_NEG_SHARING", "default(1)"),
         "auc": round(auc, 4),
         "micro_f1_20": round(f1["micro-F1@20%"], 4),
         "macro_f1_20": round(f1["macro-F1@20%"], 4),
