@@ -47,7 +47,8 @@ def _make_kernel(tile_rows: int, chunk: int, dim: int, out_dtype, acc_dtype):
     T, C, D = tile_rows, chunk, dim
 
     def kernel(lo_ref, cnt_ref, lid_ref, upd_ref, tile_ref, out_ref,
-               acc, slab, lids, sem_u, sem_i):
+               acc, slab0, slab1, lids0, lids1,
+               sem_u0, sem_u1, sem_i0, sem_i1):
         t = pl.program_id(0)
         lo = lo_ref[t]
         cnt = cnt_ref[t]
@@ -63,31 +64,63 @@ def _make_kernel(tile_rows: int, chunk: int, dim: int, out_dtype, acc_dtype):
         # Dynamic-start DMAs additionally need 8-ALIGNED sublane starts, so
         # the id fetch copies the aligned 8-row group containing the chunk
         # and reads the chunk's row by dynamic sublane index.
+        # The slab/id fetches are DOUBLE-BUFFERED across the chunk loop so
+        # chunk c+1's DMAs overlap chunk c's matmul.
         first = lo // C
 
-        def chunk_body(c, _):
+        def copies(c, slab, lids, sem_u, sem_i):
             ch = first + c
             g = (ch // 8) * 8
-            cp_u = pltpu.make_async_copy(
-                upd_ref.at[pl.ds(ch * C, C), :], slab, sem_u)
-            cp_i = pltpu.make_async_copy(
-                lid_ref.at[pl.ds(g, 8), :], lids, sem_i)
+            return (pltpu.make_async_copy(
+                        upd_ref.at[pl.ds(ch * C, C), :], slab, sem_u),
+                    pltpu.make_async_copy(
+                        lid_ref.at[pl.ds(g, 8), :], lids, sem_i))
+
+        def start(c, slab, lids, sem_u, sem_i):
+            cp_u, cp_i = copies(c, slab, lids, sem_u, sem_i)
             cp_u.start()
             cp_i.start()
-            cp_i.wait()
-            cp_u.wait()
-            lid_row = lids[pl.ds(ch - g, 1), :]
-            pos = ch * C + cols
-            valid = (pos >= lo) & (pos < lo + cnt)
-            one_hot = jnp.where((rows == lid_row) & valid, 1.0, 0.0)
-            one_hot = one_hot.astype(slab.dtype)
-            acc[:] = acc[:] + jnp.dot(one_hot, slab[:],
-                                      preferred_element_type=acc_dtype)
-            return 0
 
         @pl.when(cnt > 0)
         def _():
-            jax.lax.fori_loop(0, _cdiv(lo + cnt, C) - first, chunk_body, 0)
+            n_here = _cdiv(lo + cnt, C) - first
+            start(0, slab0, lids0, sem_u0, sem_i0)
+
+            def chunk_body(c, _):
+                ch = first + c
+                g = (ch // 8) * 8
+
+                def step_with(slab, lids, sem_u, sem_i, nslab, nlids,
+                              nsem_u, nsem_i):
+                    cp_u, cp_i = copies(c, slab, lids, sem_u, sem_i)
+                    cp_i.wait()
+                    cp_u.wait()
+
+                    @pl.when(c + 1 < n_here)
+                    def _():
+                        start(c + 1, nslab, nlids, nsem_u, nsem_i)
+
+                    lid_row = lids[pl.ds(ch - g, 1), :]
+                    pos = ch * C + cols
+                    valid = (pos >= lo) & (pos < lo + cnt)
+                    one_hot = jnp.where((rows == lid_row) & valid, 1.0, 0.0)
+                    one_hot = one_hot.astype(slab.dtype)
+                    acc[:] = acc[:] + jnp.dot(
+                        one_hot, slab[:], preferred_element_type=acc_dtype)
+
+                @pl.when(c % 2 == 0)
+                def _():
+                    step_with(slab0, lids0, sem_u0, sem_i0,
+                              slab1, lids1, sem_u1, sem_i1)
+
+                @pl.when(c % 2 == 1)
+                def _():
+                    step_with(slab1, lids1, sem_u1, sem_i1,
+                              slab0, lids0, sem_u0, sem_i0)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_here, chunk_body, 0)
 
         out_ref[:] = acc[:].astype(out_dtype)
 
@@ -153,7 +186,11 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
         scratch_shapes=[
             pltpu.VMEM((T, d), acc_dtype),
             pltpu.VMEM((C, d), sorted_upd.dtype),
+            pltpu.VMEM((C, d), sorted_upd.dtype),
             pltpu.VMEM((8, C), jnp.int32),
+            pltpu.VMEM((8, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -177,7 +214,8 @@ def _make_gather_kernel(tile_rows: int, chunk: int, dim: int, v: int,
     last_base = v - T  # 8-aligned clamp for the ragged last tile (v % 8 == 0)
 
     def kernel(t0_ref, span_ref, id_ref, table_ref, out_ref,
-               acc, buf0, buf1, idbuf, sem0, sem1, sem_i):
+               acc, pre0, pre1, ext0, ext1, idbuf,
+               sem_p0, sem_p1, sem_e0, sem_e1, sem_i):
         i = pl.program_id(0)
         t0 = t0_ref[i]
         span = span_ref[i]
@@ -189,58 +227,94 @@ def _make_gather_kernel(tile_rows: int, chunk: int, dim: int, v: int,
                                      sem_i)
         cp_i.start()
 
-        def base_of(k):
-            return jnp.minimum((t0 + k) * T, last_base)
-
-        def copy(k, buf, sem):
+        def base_at(tile_idx):
             # both min() operands are 8-aligned (T % 8 == 0, v % 8 == 0)
             # but Mosaic cannot prove it through the min — assert the
             # alignment for the dynamic-start DMA
-            start = pl.multiple_of(base_of(k), 8)
-            return pltpu.make_async_copy(
-                table_ref.at[pl.ds(start, T), :], buf, sem)
+            return pl.multiple_of(
+                jnp.minimum(tile_idx * T, last_base), 8)
 
-        copy(0, buf0, sem0).start()
+        def copy_tile(tile_idx, buf, sem):
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(base_at(tile_idx), T), :], buf, sem)
+
+        # CROSS-GRID-STEP PIPELINE: scratch persists across grid steps, so
+        # step i-1 prefetched OUR first tile into pre[i % 2]; we prefetch
+        # step i+1's first tile into the other buffer before computing.
+        # Spans > 1 (tile-crossing chunks, the minority) stream the extra
+        # tiles through a second double-buffered pair inside the loop.
+        @pl.when(i == 0)
+        def _():
+            copy_tile(t0, pre0, sem_p0).start()
+
+        @pl.when(i + 1 < pl.num_programs(0))
+        def _():
+            nxt = t0_ref[i + 1]
+
+            @pl.when(i % 2 == 0)
+            def _():
+                copy_tile(nxt, pre1, sem_p1).start()
+
+            @pl.when(i % 2 == 1)
+            def _():
+                copy_tile(nxt, pre0, sem_p0).start()
+
         acc[:] = jnp.zeros((C, D), jnp.float32)
         rows = jax.lax.broadcasted_iota(jnp.int32, (T, C), 0)
         cp_i.wait()
         id_row = idbuf[pl.ds(i - g, 1), :]                # [1, C]
+        tile_of_row = id_row // T
 
-        # double-buffered dynamic-trip tile stream; buffer parity is
-        # unrolled with pl.when (a traced slot cannot index the scratch)
-        def body(k, _):
-            lid_row = id_row - base_of(k)
+        def accumulate(k, buf):
+            lid_row = id_row - base_at(t0 + k)
             # match on the LOGICAL tile: the clamped last-tile fetch window
             # overlaps the previous tile's rows, so a bare range check
             # would double-count ids in the overlap
-            mine = (id_row // T) == (t0 + k)
-            one_hot = jnp.where((rows == lid_row) & mine, 1.0, 0.0)  # [T, C]
+            mine = tile_of_row == (t0 + k)
+            one_hot = jnp.where((rows == lid_row) & mine, 1.0, 0.0)
+            # acc[C, D] += one_hot^T [C, T] @ tile [T, D] via a dim-0/dim-0
+            # contraction (no explicit transpose)
+            acc[:] = acc[:] + jax.lax.dot_general(
+                one_hot.astype(buf.dtype), buf[:],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-            def step_with(buf, sem, nbuf, nsem):
-                copy(k, buf, sem).wait()
+        @pl.when(i % 2 == 0)
+        def _():
+            copy_tile(t0, pre0, sem_p0).wait()
+            accumulate(0, pre0)
 
-                @pl.when(k + 1 < span)
+        @pl.when(i % 2 == 1)
+        def _():
+            copy_tile(t0, pre1, sem_p1).wait()
+            accumulate(0, pre1)
+
+        @pl.when(span > 1)
+        def _():
+            copy_tile(t0 + 1, ext0, sem_e0).start()
+
+            def body(k, _):
+                def step_with(buf, sem, nbuf, nsem):
+                    copy_tile(t0 + k, buf, sem).wait()
+
+                    @pl.when(k + 1 < span)
+                    def _():
+                        copy_tile(t0 + k + 1, nbuf, nsem).start()
+
+                    accumulate(k, buf)
+
+                @pl.when(k % 2 == 1)
                 def _():
-                    copy(k + 1, nbuf, nsem).start()
+                    step_with(ext0, sem_e0, ext1, sem_e1)
 
-                # acc[C, D] += one_hot^T [C, T] @ tile [T, D] via a
-                # dim-0/dim-0 contraction (no explicit transpose)
-                acc[:] = acc[:] + jax.lax.dot_general(
-                    one_hot.astype(buf.dtype), buf[:],
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                @pl.when(k % 2 == 0)
+                def _():
+                    step_with(ext1, sem_e1, ext0, sem_e0)
 
-            @pl.when(k % 2 == 0)
-            def _():
-                step_with(buf0, sem0, buf1, sem1)
+                return 0
 
-            @pl.when(k % 2 == 1)
-            def _():
-                step_with(buf1, sem1, buf0, sem0)
+            jax.lax.fori_loop(1, span, body, 0)
 
-            return 0
-
-        jax.lax.fori_loop(0, span, body, 0)
         out_ref[0] = acc[:].astype(out_dtype)
 
     return kernel
@@ -300,7 +374,11 @@ def sweep_gather_sorted(table, sorted_ids, *, tile_rows: int = 256,
             pltpu.VMEM((C, d), jnp.float32),
             pltpu.VMEM((T, d), table.dtype),
             pltpu.VMEM((T, d), table.dtype),
+            pltpu.VMEM((T, d), table.dtype),
+            pltpu.VMEM((T, d), table.dtype),
             pltpu.VMEM((8, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -330,12 +408,13 @@ def _make_moment_kernel(tile_rows: int, chunk: int, dim: int, out_dtype,
 
     def kernel(*refs):
         # refs: lo, cnt, lr, lid, slab_src, tile, moms..., out, out_moms...,
-        #       acc, slab, lids, sem_u, sem_i
+        #       acc, slab0, slab1, lids0, lids1, sems x4
         lo_ref, cnt_ref, lr_ref, lid_ref, upd_ref, tile_ref = refs[:6]
         mom_refs = refs[6:6 + n_mom]
         out_ref = refs[6 + n_mom]
         out_mom_refs = refs[7 + n_mom:7 + 2 * n_mom]
-        acc, slab, lids, sem_u, sem_i = refs[7 + 2 * n_mom:]
+        (acc, slab0, slab1, lids0, lids1,
+         sem_u0, sem_u1, sem_i0, sem_i1) = refs[7 + 2 * n_mom:]
         t = pl.program_id(0)
         lo = lo_ref[t]
         cnt = cnt_ref[t]
@@ -346,29 +425,61 @@ def _make_moment_kernel(tile_rows: int, chunk: int, dim: int, out_dtype,
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
         first = lo // C
 
-        def chunk_body(c, _):
+        def copies(c, slab, lids, sem_u, sem_i):
             ch = first + c
             g = (ch // 8) * 8
-            cp_u = pltpu.make_async_copy(
-                upd_ref.at[pl.ds(ch * C, C), :], slab, sem_u)
-            cp_i = pltpu.make_async_copy(
-                lid_ref.at[pl.ds(g, 8), :], lids, sem_i)
+            return (pltpu.make_async_copy(
+                        upd_ref.at[pl.ds(ch * C, C), :], slab, sem_u),
+                    pltpu.make_async_copy(
+                        lid_ref.at[pl.ds(g, 8), :], lids, sem_i))
+
+        def start(c, slab, lids, sem_u, sem_i):
+            cp_u, cp_i = copies(c, slab, lids, sem_u, sem_i)
             cp_u.start()
             cp_i.start()
-            cp_i.wait()
-            cp_u.wait()
-            lid_row = lids[pl.ds(ch - g, 1), :]
-            pos = ch * C + cols
-            valid = (pos >= lo) & (pos < lo + cnt)
-            one_hot = jnp.where((rows == lid_row) & valid, 1.0, 0.0)
-            one_hot = one_hot.astype(slab.dtype)
-            acc[:] = acc[:] + jnp.dot(one_hot, slab[:],
-                                      preferred_element_type=jnp.float32)
-            return 0
 
         @pl.when(cnt > 0)
         def _():
-            jax.lax.fori_loop(0, _cdiv(lo + cnt, C) - first, chunk_body, 0)
+            n_here = _cdiv(lo + cnt, C) - first
+            start(0, slab0, lids0, sem_u0, sem_i0)
+
+            def chunk_body(c, _):
+                ch = first + c
+                g = (ch // 8) * 8
+
+                def step_with(slab, lids, sem_u, sem_i, nslab, nlids,
+                              nsem_u, nsem_i):
+                    cp_u, cp_i = copies(c, slab, lids, sem_u, sem_i)
+                    cp_i.wait()
+                    cp_u.wait()
+
+                    @pl.when(c + 1 < n_here)
+                    def _():
+                        start(c + 1, nslab, nlids, nsem_u, nsem_i)
+
+                    lid_row = lids[pl.ds(ch - g, 1), :]
+                    pos = ch * C + cols
+                    valid = (pos >= lo) & (pos < lo + cnt)
+                    one_hot = jnp.where((rows == lid_row) & valid, 1.0,
+                                        0.0)
+                    one_hot = one_hot.astype(slab.dtype)
+                    acc[:] = acc[:] + jnp.dot(
+                        one_hot, slab[:],
+                        preferred_element_type=jnp.float32)
+
+                @pl.when(c % 2 == 0)
+                def _():
+                    step_with(slab0, lids0, sem_u0, sem_i0,
+                              slab1, lids1, sem_u1, sem_i1)
+
+                @pl.when(c % 2 == 1)
+                def _():
+                    step_with(slab1, lids1, sem_u1, sem_i1,
+                              slab0, lids0, sem_u0, sem_i0)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_here, chunk_body, 0)
 
         gsum = acc[:, :D]
         gsq = acc[:, D:2 * D]
@@ -460,7 +571,11 @@ def sweep_scatter_update(table, moments, sorted_ids, sorted_grads, opt, lr,
         scratch_shapes=[
             pltpu.VMEM((T, Wd), jnp.float32),
             pltpu.VMEM((C, Wd), jnp.float32),
+            pltpu.VMEM((C, Wd), jnp.float32),
             pltpu.VMEM((8, C), jnp.int32),
+            pltpu.VMEM((8, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
