@@ -811,8 +811,14 @@ class GraphSolver(SolverBase):
         # minus the sorted stream — tails are never sorted, the kernel
         # front-end sorts. Opt-in until device-measured (the sort + row
         # permute must beat the XLA per-row scatter's margin).
-        use_sweep_ctx = (_os3.environ.get(
-                             "GRAPHVITE_SWEEP_CONTEXT", "0") != "0"
+        # context-side sweep: default ON where the vertex sweep engages
+        # (TPU or forced) — with the round-3 pipelined kernels the
+        # argsort + permute + sweep measured FASTER than the XLA scatter
+        # at 120-epoch bench length (17.45M vs 17.15M samples/s, tune5)
+        ctx_env = _os3.environ.get("GRAPHVITE_SWEEP_CONTEXT", "")
+        ctx_enabled = (ctx_env == "1"
+                       or (ctx_env != "0" and sweep_enabled))
+        use_sweep_ctx = (ctx_enabled
                          and negative_sharing
                          and augmentation_step == 1
                          and self.sampler_backend == "device"
@@ -828,19 +834,27 @@ class GraphSolver(SolverBase):
                           if self.sampler_backend == "device"
                           else self.batch_size)
             pool_groups = _steps.graph_pool_groups(pool_batch)
+            # M=128 default: -10% pool row traffic measured end to end
+            # (19.35M vs 17.51M samples/s, tune6) at unchanged clone
+            # quality (AUC 0.8739 vs 0.8743, RESULTS.md round-3 ablation);
+            # per-group diversity stays >= the 64-candidate bar from the
+            # KG pool study
+            pool_size = int(_os3.environ.get("GRAPHVITE_POOL_SIZE", 128))
             step_fn = _steps.make_graph_pool_step(
                 self.optimizer, self.num_negative, float(negative_weight),
+                pool_size=pool_size,
                 pool_groups=pool_groups, trust=trust,
                 sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
                 sweep_gather=use_sweep_gather,
                 sweep_gather_tile=gather_tile,
                 sweep_tile=int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
                                                 1024)),
-                # c128 measured fastest on v5e: 12.2 ns/row bf16 vs 14.1
-                # at c512 (campaign2 sweep_micro; smaller chunks cut the
-                # per-tile boundary matmul waste at bench touch density)
+                # c256 measured fastest END TO END on v5e with the
+                # pipelined kernels (round-3 tune5: 17.15M vs c128's
+                # 16.64M samples/s at 120-epoch length; the round-2
+                # isolation microbench favored c128 before pipelining)
                 sweep_chunk=int(_os3.environ.get("GRAPHVITE_SWEEP_CHUNK",
-                                                 128)))
+                                                 256)))
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
