@@ -152,7 +152,8 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
                          sweep_vertex: bool = False, sweep_tile: int = 1024,
                          sweep_chunk: int = 512, sweep_context: bool = False,
                          sweep_gather: bool = False,
-                         sweep_gather_tile: int = 256):
+                         sweep_gather_tile: int = 256,
+                         sort_heads: bool = False):
     """Shared-negative-pool graph step (negative sharing).
 
     Instead of K per-sample noise draws (gpu/graph.cuh:48-58 draws per
@@ -183,6 +184,23 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         b = heads.shape[0]
         assert b % G == 0, "batch must divide pool_groups"
         bg = b // G
+        if sort_heads:
+            # walk-mode front-end for the sweep paths: heads arrive
+            # unsorted (walk-pair emission order), so sort the BATCH by
+            # head id — three [B] i32 permutes, while the sweeps it
+            # unlocks replace per-row gather+scatter with table streams.
+            # Masked (dead-walk) slots route to row V-1 with zeroed
+            # updates below; within-batch update order is accumulation-
+            # invariant so the reordering is semantics-free.
+            if mask is not None:
+                heads = jnp.where(mask > 0, heads,
+                                  jnp.asarray(vertex.shape[0] - 1,
+                                              heads.dtype))
+            order = jnp.argsort(heads)
+            heads = heads[order]
+            tails = tails[order]
+            if mask is not None:
+                mask = mask[order]
         k1, k2 = jax.random.split(key)
         u1 = jax.random.uniform(k1, (G, M))
         u2 = jax.random.uniform(k2, (G, M))
@@ -262,6 +280,10 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
             # rescale by M/K (per-draw grad = M/K * per-term grad)
             sq_scale = M / max(k, 1)
             v_counts = jnp.full((b,), k + 1, jnp.float32)
+            if mask is not None:
+                # dead slots register no touches (the sweep path keeps
+                # their parked V-1 row's moments undecayed)
+                v_counts = v_counts * mask
             v_sqs = ((gpos[..., None] * c) ** 2
                      + sq_scale * jnp.einsum(
                          "gbm,gmd->gbd", gneg ** 2, P ** 2,
@@ -271,8 +293,9 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
             if m2 is not None:
                 p_counts = jnp.broadcast_to(
                     jnp.sum(m2, axis=1)[:, None] * (k / M), (G, M))
-            c_counts = jnp.concatenate(
-                [jnp.ones((b,), jnp.float32), p_counts.reshape(-1)])
+            tail_cnt = (jnp.ones((b,), jnp.float32) if mask is None
+                        else mask.astype(jnp.float32))
+            c_counts = jnp.concatenate([tail_cnt, p_counts.reshape(-1)])
             p_sqs = sq_scale * jnp.einsum(
                 "gbm,gbd->gmd", gneg ** 2, v ** 2,
                 preferred_element_type=jnp.float32)
@@ -280,10 +303,13 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
                 [(dc ** 2).reshape(b, -1), p_sqs.reshape(G * M, -1)])
 
         if sweep_vertex and b % sweep_chunk == 0:
-            # Pallas tile-sweep scatter (ops/pallas_scatter): the solver
-            # enables this only when heads arrive SORTED (sorted edge
-            # stream) and the mask is constant 1 (edge-stream mode) — the
-            # kernel needs ascending ids and drops nothing
+            # Pallas tile-sweep scatter (ops/pallas_scatter): heads are
+            # sorted here (sorted edge stream, or the sort_heads front-end
+            # for walk batches). Masked (dead-walk) slots sit at row V-1
+            # with their gradients zeroed — the wd terms are the only
+            # unmasked residue in dv/dc, so zero them explicitly.
+            if mask is not None:
+                dv = dv * m2[..., None]
             if opt.num_moment == 0:
                 from graphvite_tpu.ops.pallas_scatter import (
                     sweep_scatter_add)
@@ -309,17 +335,24 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
                 vertex, v_moms, _mask_ids(heads, mask, vertex.shape[0]),
                 dv.reshape(b, -1), opt, lr,
                 entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
-        ctx_ids = jnp.concatenate(
-            [_mask_ids(tails, mask, context.shape[0]),
-             pool_ids.reshape(-1)])
+        if sweep_context and mask is not None:
+            # sweep ids must stay in range: masked tails park at row V-1
+            # with zeroed rows instead of the out-of-range drop sentinel
+            dc = dc * m2[..., None]
+            sweep_tails = jnp.where(mask > 0, tails,
+                                    jnp.asarray(context.shape[0] - 1,
+                                                tails.dtype))
+            ctx_ids = jnp.concatenate([sweep_tails, pool_ids.reshape(-1)])
+        else:
+            ctx_ids = jnp.concatenate(
+                [_mask_ids(tails, mask, context.shape[0]),
+                 pool_ids.reshape(-1)])
         ctx_grads = jnp.concatenate(
             [dc.reshape(b, -1), dP.reshape(G * M, -1)])
         if sweep_context:
             # unsorted-id sweep (argsort front-end): tails never arrive
             # sorted, so this pays an extra sort + row permute — the
             # solver gates it behind its own measured auto-rule/env knob.
-            # Solver guarantees edge-stream mode here (mask constant 1, so
-            # _mask_ids is the identity and every id is in range).
             if opt.num_moment == 0:
                 from graphvite_tpu.ops.pallas_scatter import (
                     sweep_scatter_add_unsorted)

@@ -242,9 +242,10 @@ class SolverBase:
         host_master = (hm_env == "1" if hm_env is not None
                        else demand > hbm_budget)
         if host_master:
-            logger.info("host-master mode: shards staged per episode "
-                        "(demand %.1f GB > budget %.1f GB)",
-                        demand / 1e9, hbm_budget / 1e9)
+            logger.info("host-master mode: shards staged per episode (%s)",
+                        "forced by GRAPHVITE_HOST_MASTER" if hm_env == "1"
+                        else "demand %.1f GB > budget %.1f GB"
+                             % (demand / 1e9, hbm_budget / 1e9))
 
         # per-partition shards held as separate arrays (device-resident by
         # default; host numpy masters in host_master mode)
@@ -783,15 +784,25 @@ class GraphSolver(SolverBase):
         # wherever the table exceeds the dense-path threshold
         use_sweep = (sweep_enabled
                      and negative_sharing
-                     and augmentation_step == 1
                      and self.sampler_backend == "device"
                      and num_vertex * self.dim > DENSE_UPDATE_ELEMS)
-        if use_sweep:
+        sort_heads = False
+        if use_sweep and augmentation_step == 1:
             sampler = self._get_sampler(
                 ("edge", True),
                 lambda: DeviceEdgeSampler.build(self.graph,
                                                 sort_stream=True))
             use_sweep = bool(sampler.sorted_stream)
+        elif use_sweep:
+            # walk mode: pairs arrive in emission order; the sort_heads
+            # front-end (in-step argsort) can unlock the sweeps, but
+            # MEASURED on v5e it loses — 8.58M vs 13.72M pair-slots/s
+            # with plain scatters (the two in-step argsorts cost more
+            # than the sweeps save; LINE wins only because its stream is
+            # pre-sorted for free). Opt-in for future sort lowerings.
+            sort_heads = _os3.environ.get("GRAPHVITE_SWEEP_WALK",
+                                          "0") == "1"
+            use_sweep = sort_heads
         self._sweep_scatter = use_sweep
         # streaming sweep GATHER for the sorted head side (measured on v5e:
         # XLA's per-row gather pays ~11 ns/row; the tile stream + one-hot
@@ -820,7 +831,7 @@ class GraphSolver(SolverBase):
                        or (ctx_env != "0" and sweep_enabled))
         use_sweep_ctx = (ctx_enabled
                          and negative_sharing
-                         and augmentation_step == 1
+                         and (augmentation_step == 1 or sort_heads)
                          and self.sampler_backend == "device"
                          and num_vertex * self.dim > DENSE_UPDATE_ELEMS)
         self._sweep_context = use_sweep_ctx
@@ -847,6 +858,7 @@ class GraphSolver(SolverBase):
                 sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
                 sweep_gather=use_sweep_gather,
                 sweep_gather_tile=gather_tile,
+                sort_heads=sort_heads,
                 sweep_tile=int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
                                                 1024)),
                 # c256 measured fastest END TO END on v5e with the
