@@ -95,7 +95,13 @@ def bench_kg():
 
     g = synthetic_kg(num_entity=int(os.environ.get("BENCH_KG_V", 14_951)),
                      num_triplet=int(os.environ.get("BENCH_KG_T", 483_142)))
-    solver = KnowledgeGraphSolver(dim=dim)
+    # dtype A/B (round 3, reversed-order runs): f32 72.8k vs bf16 72.5k
+    # triplets/s — the pooled KG step at dim 2048 is einsum/elementwise
+    # bound (FB15k's 15k-entity table rides the dense path), so bf16
+    # tables change nothing; f32 stays the default. Quality parity at
+    # bf16 was verified anyway (math fixture MRR 1.000 both).
+    kg_float = os.environ.get("BENCH_KG_DTYPE", "float32")
+    solver = KnowledgeGraphSolver(dim=dim, float_type=kg_float)
     # episode_size 50: chain batches inside one device call — a 1-batch
     # episode pays a host round-trip per batch (~25 ms through the axon
     # tunnel), which at the memory-capped KG batch would dominate

@@ -177,6 +177,12 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
     M = int(pool_size)
     G = int(pool_groups)
     neg_w = float(negative_weight) * k / M
+    import os as _os
+    # experimental: run the three big einsums with bf16 OPERANDS (f32
+    # accumulation on the MXU) when the tables are bf16 — the per-term
+    # negative gradients round to bf16, which matches the precision of a
+    # bf16 table write anyway
+    bf16_mm = _os.environ.get("GRAPHVITE_BF16_COMPUTE", "0") == "1"
 
     def step(state, heads, tails, key, lr, *neg_state, mask=None):
         vertex, context = state["tables"]
@@ -222,8 +228,10 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         c = context[tails].reshape(G, bg, -1).astype(jnp.float32)
         P = context[pool_ids].astype(jnp.float32)             # [G, M, D]
 
+        mm = (jnp.bfloat16 if bf16_mm and vertex.dtype == jnp.bfloat16
+              else jnp.float32)
         pos_logit = jnp.sum(v * c, axis=-1)                  # [G, Bg]
-        neg_logits = jnp.einsum("gbd,gmd->gbm", v, P,
+        neg_logits = jnp.einsum("gbd,gmd->gbm", v.astype(mm), P.astype(mm),
                                 preferred_element_type=jnp.float32)
         gpos = jax.nn.sigmoid(pos_logit) - 1.0               # [G, Bg]
         gneg = jax.nn.sigmoid(neg_logits) * neg_w            # [G, Bg, M]
@@ -246,11 +254,11 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         wd = opt.weight_decay
         # gradients (weights folded into gpos/gneg)
         dv = (gpos[..., None] * c
-              + jnp.einsum("gbm,gmd->gbd", gneg, P,
+              + jnp.einsum("gbm,gmd->gbd", gneg.astype(mm), P.astype(mm),
                            preferred_element_type=jnp.float32)
               + wd * (1.0 + M * neg_w) * v)
         dc = gpos[..., None] * v + wd * c
-        dP = (jnp.einsum("gbm,gbd->gmd", gneg, v,
+        dP = (jnp.einsum("gbm,gbd->gmd", gneg.astype(mm), v.astype(mm),
                          preferred_element_type=jnp.float32)
               + wd * (neg_w * bg) * P)
         # STABILITY: a pool row accumulates up to Bg * neg_w weight mass at
