@@ -164,6 +164,21 @@ def main():
         "vs_baseline": round(rate / BASELINE_PER_GPU, 4),
         "float_type": float_type,
     }
+    if os.environ.get("BENCH_DEEPWALK", "1") != "0":
+        # DeepWalk pillar (Youtube DeepWalk 1.19 min ~= LINE's rate on the
+        # reference, so the same 3.5e7/GPU share is the denominator);
+        # walks are generated on device inside the episode
+        kw = dict(model="DeepWalk", augmentation_step=2,
+                  random_walk_length=40, log_frequency=10**9)
+        solver.train(num_epoch=3, **kw)                     # compile
+        start = time.time()
+        solver.train(num_epoch=max(num_epoch // 2, 1), **kw)
+        dw_elapsed = time.time() - start
+        dw_samples = solver.num_batch * solver.effective_batch
+        dw_rate = dw_samples / dw_elapsed
+        result["deepwalk_pair_slots_per_s"] = round(dw_rate, 1)
+        result["deepwalk_vs_baseline"] = round(dw_rate / BASELINE_PER_GPU,
+                                               4)
     if os.environ.get("BENCH_KG", "1") != "0":
         # the KG bench runs in a SUBPROCESS: a device-side crash (dim-2048
         # K=64 configs have taken the TPU worker down) must not lose the

@@ -186,7 +186,7 @@ class DeviceEdgeSampler:
 
 
 def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
-                       p=1.0, q=1.0):
+                       p=1.0, q=1.0, bs_iters=32):
     """Build the on-device walk generator shared by the single-chip
     DeviceWalkSampler and the multichip walk-pool path (parallel/mesh.py).
 
@@ -194,6 +194,10 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
     nbr_prob, nbr_alias, [sorted_indices]) -> (chain [L+1, W], valid [L+1, W])
     where `valid[j]` means all steps up to position j were alive
     (graph.cuh:399-449 semantics: walks truncate at dead ends).
+
+    `bs_iters` bounds the neighbor-membership binary search (node2vec
+    rejection test); pass ceil(log2(max_degree)) + 1 — the blanket 32
+    costs ~2x on low-degree graphs.
     """
     L, W = int(walk_length), int(num_walk)
 
@@ -256,9 +260,17 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
                     new_hi = jnp.where((~go_right) & (lo < hi), mid, hi)
                     return new_lo, new_hi
 
-                lo, hi = jax.lax.fori_loop(0, 32, bs_body, (lo, hi))
+                lo, hi = jax.lax.fori_loop(0, bs_iters, bs_body, (lo, hi))
                 found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
                 return found & (lo < indptr[x + 1])
+
+            # R parallel proposals per rejection round keeps the sampler
+            # exact (first-accepted-of-an-ordered-stream), but the loop is
+            # GATHER-COUNT bound, not depth bound: R=8 measured 1.43M vs
+            # R=1's 2.11M pair-slots/s end to end (acceptance is high at
+            # p=q=0.25, so extra proposals are pure waste). R=1 with the
+            # degree-capped binary search is the winning shape.
+            R = 1
 
             def walk_body(carry, step_key):
                 v, prev, alive = carry
@@ -270,27 +282,34 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
                 # (the reweighting of graph.cuh:663-672) — statistically
                 # identical to the per-edge second-order alias tables
                 # without their O(E * avg_degree) memory.
+                vb = jnp.broadcast_to(v, (R, W))
+
                 def propose(state):
                     nxt, accepted, k = state
                     pk = jax.random.fold_in(step_key, k)
-                    w1, w2, racc = jax.random.uniform(pk, (3, W))
+                    w1, w2, racc = jax.random.uniform(pk, (3, R, W))
                     cand, _ = step_neighbor(
-                        indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
+                        indptr, indices, nbr_prob, nbr_alias, vb, w1, w2)
                     # reference tests neighbors[x].find(u), i.e. edge
                     # x -> u with x = candidate, u = previous vertex
                     # (graph.cuh:668)
-                    is_common = in_neighbors(cand, prev)
-                    is_return = cand == prev
+                    is_common = in_neighbors(cand, prev[None, :])
+                    is_return = cand == prev[None, :]
                     bias = jnp.where(is_return, 1.0 / p,
                                      jnp.where(is_common, 1.0, 1.0 / q))
-                    ok = racc < bias / max_bias
-                    nxt = jnp.where(accepted, nxt, cand)
-                    accepted = accepted | ok
+                    ok = racc < bias / max_bias                 # [R, W]
+                    any_ok = jnp.any(ok, axis=0)
+                    first = jnp.argmax(ok, axis=0)              # first True
+                    chosen = jnp.take_along_axis(cand, first[None],
+                                                 axis=0)[0]
+                    nxt = jnp.where(accepted, nxt,
+                                    jnp.where(any_ok, chosen, nxt))
+                    accepted = accepted | any_ok
                     return nxt, accepted, k + 1
 
                 def not_done(state):
                     _, accepted, k = state
-                    return (~jnp.all(accepted)) & (k < 64)
+                    return (~jnp.all(accepted)) & (k < 64 // R)
 
                 deg = indptr[v + 1] - indptr[v]
                 step_alive = deg > 0
@@ -361,6 +380,7 @@ class DeviceWalkSampler:
     p: float = 1.0
     q: float = 1.0
     biased: bool = False
+    bs_iters: int = 32
     sorted_indices: Optional[jax.Array] = None  # [Ed] i32: CSR indices, each
     #                                             vertex's row sorted (for
     #                                             int32-safe membership search)
@@ -388,7 +408,11 @@ class DeviceWalkSampler:
             order = np.lexsort((graph.indices,
                                 np.repeat(np.arange(graph.indptr.size - 1),
                                           np.diff(graph.indptr))))
+            deg = np.diff(graph.indptr)
+            max_deg = int(deg.max()) if deg.size else 1
             kw = dict(biased=True, p=float(p), q=float(q),
+                      bs_iters=max(int(math.ceil(math.log2(max_deg + 1)))
+                                   + 1, 1),
                       sorted_indices=jnp.asarray(graph.indices[order],
                                                  jnp.int32))
         return cls(
@@ -416,7 +440,8 @@ class DeviceWalkSampler:
         aug = self.augmentation_step
         chain_fn = make_walk_chain_fn(self.uniform, self.walk_length,
                                       self.num_walk, biased=self.biased,
-                                      p=self.p, q=self.q)
+                                      p=self.p, q=self.q,
+                                      bs_iters=self.bs_iters)
 
         def sample(key, *arrays):
             chain, valid = chain_fn(key, *arrays)

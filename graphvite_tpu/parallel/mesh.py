@@ -486,7 +486,8 @@ class ShardedGraphTrainer:
             C = max(-(-int(slack * S) // P_), 1)
             chain_fn = make_walk_chain_fn(
                 cfg["uniform"], Lw, Wp, biased=cfg.get("biased", False),
-                p=cfg.get("p", 1.0), q=cfg.get("q", 1.0))
+                p=cfg.get("p", 1.0), q=cfg.get("q", 1.0),
+                bs_iters=cfg.get("bs_iters", 32))
 
             local = jax.tree_util.tree_map(lambda x: x[0], state)
             neg = (neg_prob[0], neg_alias[0], neg_size[0])
@@ -611,6 +612,10 @@ class ShardedGraphTrainer:
         w = np.asarray(graph.csr_weights, np.float64)
         uniform = bool(w.size == 0 or np.all(w == w[0]))
         self.walk_cfg["uniform"] = uniform
+        deg = np.diff(np.asarray(graph.indptr))
+        max_deg = int(deg.max()) if deg.size else 1
+        self.walk_cfg["bs_iters"] = max(
+            int(np.ceil(np.log2(max_deg + 1))) + 1, 1)
         if uniform:
             nbr_prob = np.zeros(0, np.float32)
             nbr_alias = np.zeros(0, np.int32)
