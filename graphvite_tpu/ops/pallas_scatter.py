@@ -43,6 +43,15 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _prec(dtype):
+    """Matmul precision for the one-hot select/accumulate: f32 operands
+    need HIGHEST or the MXU's default bf16 operand rounding silently
+    corrupts what must be exact row copies/sums; bf16 operands are exact
+    at default (one-hot entries are 1.0)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _make_kernel(tile_rows: int, chunk: int, dim: int, out_dtype, acc_dtype):
     T, C, D = tile_rows, chunk, dim
 
@@ -105,8 +114,15 @@ def _make_kernel(tile_rows: int, chunk: int, dim: int, out_dtype, acc_dtype):
                     valid = (pos >= lo) & (pos < lo + cnt)
                     one_hot = jnp.where((rows == lid_row) & valid, 1.0, 0.0)
                     one_hot = one_hot.astype(slab.dtype)
+                    # exactness keyed to the DESTINATION dtype: a bf16
+                    # table rounds the write anyway, so default (bf16
+                    # operand) precision loses nothing there, while an
+                    # f32 table needs HIGHEST or the MXU rounds the f32
+                    # updates (measured 12% end-to-end cost of HIGHEST
+                    # on the bf16 bench — only pay it where it matters)
                     acc[:] = acc[:] + jnp.dot(
-                        one_hot, slab[:], preferred_element_type=acc_dtype)
+                        one_hot, slab[:], preferred_element_type=acc_dtype,
+                        precision=_prec(out_dtype))
 
                 @pl.when(c % 2 == 0)
                 def _():
@@ -144,8 +160,10 @@ def sweep_scatter_add(table, sorted_ids, sorted_upd, *, tile_rows: int = 1024,
     tile).
     """
     if interpret is None:
-        # Mosaic kernels only run interpreted off-TPU (CPU mesh tests)
-        interpret = jax.default_backend() == "cpu"
+        # Mosaic kernels only exist on TPU; interpret on ANY other
+        # backend (CPU test meshes, GPU) so a forced enable cannot
+        # crash at lowering
+        interpret = jax.default_backend() != "tpu"
     v, d = table.shape
     n = sorted_ids.shape[0]
     T, C = int(tile_rows), int(chunk)
@@ -277,7 +295,8 @@ def _make_gather_kernel(tile_rows: int, chunk: int, dim: int, v: int,
             acc[:] = acc[:] + jax.lax.dot_general(
                 one_hot.astype(buf.dtype), buf[:],
                 (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_prec(buf.dtype))
 
         @pl.when(i % 2 == 0)
         def _():
@@ -336,7 +355,7 @@ def sweep_gather_sorted(table, sorted_ids, *, tile_rows: int = 256,
     N % chunk == 0 (pad with any in-range id; slice the output).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     v, d = table.shape
     n = sorted_ids.shape[0]
     T, C = int(tile_rows), int(chunk)
@@ -346,6 +365,13 @@ def sweep_gather_sorted(table, sorted_ids, *, tile_rows: int = 256,
     if v % 8 or v < T:
         raise ValueError("table rows %d must be 8-aligned and >= tile %d"
                          % (v, T))
+    if d % 128 and not interpret:
+        # the manual table-tile DMA slices full lanes; Mosaic rejects the
+        # memref_slice for non-128-multiple widths (measured: d=128/256
+        # compile, d=16/32/64 fail) — callers gate on dim; interpret mode
+        # (tests, non-TPU backends) has no such constraint
+        raise ValueError("sweep_gather_sorted needs dim %% 128 == 0 on "
+                         "TPU, got %d" % d)
     n_chunks = n // C
     ids2d = sorted_ids.astype(jnp.int32).reshape(n_chunks, C)
     t0 = ids2d[:, 0] // T
@@ -403,7 +429,10 @@ def _make_moment_kernel(tile_rows: int, chunk: int, dim: int, out_dtype,
     from graphvite_tpu.optim import moment_delta
 
     T, C, D = tile_rows, chunk, dim
-    Wd = 2 * D + 1
+    # the count column is padded to a full 128-lane block: Mosaic rejects
+    # width-1 lane slices (`acc[:, 2D]`), so the slab carries
+    # [gsum | gsq | count, 0...] and the kernel reduces the last block
+    Wd = 2 * D + 128
     n_mom = opt.num_moment
 
     def kernel(*refs):
@@ -465,7 +494,8 @@ def _make_moment_kernel(tile_rows: int, chunk: int, dim: int, out_dtype,
                     one_hot = one_hot.astype(slab.dtype)
                     acc[:] = acc[:] + jnp.dot(
                         one_hot, slab[:],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_prec(slab.dtype))
 
                 @pl.when(c % 2 == 0)
                 def _():
@@ -483,7 +513,7 @@ def _make_moment_kernel(tile_rows: int, chunk: int, dim: int, out_dtype,
 
         gsum = acc[:, :D]
         gsq = acc[:, D:2 * D]
-        counts = acc[:, 2 * D]
+        counts = jnp.sum(acc[:, 2 * D:], axis=1)  # single live column
         touched = (counts > 0)[:, None]
         c = jnp.maximum(counts, 1.0)[:, None]
         moms = tuple(m[:].astype(jnp.float32) for m in mom_refs)
@@ -523,7 +553,7 @@ def sweep_scatter_update(table, moments, sorted_ids, sorted_grads, opt, lr,
                                   chunk=chunk, interpret=interpret),
                 moments)
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     v, d = table.shape
     n = sorted_ids.shape[0]
     T, C = int(tile_rows), int(chunk)
@@ -538,7 +568,9 @@ def sweep_scatter_update(table, moments, sorted_ids, sorted_grads, opt, lr,
     sq = g32 * g32 if entry_sqs is None else entry_sqs.astype(jnp.float32)
     cnt = (jnp.ones((n,), jnp.float32) if entry_counts is None
            else entry_counts.astype(jnp.float32))
-    slab_src = jnp.concatenate([g32, sq, cnt[:, None]], axis=1)  # [N, 2D+1]
+    slab_src = jnp.concatenate(
+        [g32, sq, cnt[:, None],
+         jnp.zeros((n, 127), jnp.float32)], axis=1)   # [N, 2D+128]
 
     tile_of = (sorted_ids // T).astype(jnp.int32)
     r = jnp.arange(n_tiles + 1, dtype=tile_of.dtype)
@@ -554,7 +586,7 @@ def sweep_scatter_update(table, moments, sorted_ids, sorted_grads, opt, lr,
             [lid2d, jnp.zeros((pad_rows, C), jnp.int32)])
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
 
-    Wd = 2 * d + 1
+    Wd = 2 * d + 128
     kernel = _make_moment_kernel(T, C, d, table.dtype, opt, float(lr_scale))
 
     tspec = pl.BlockSpec((T, d), lambda i, lo, cnt, lr: (i, 0),

@@ -261,6 +261,13 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         dP = (jnp.einsum("gbm,gbd->gmd", gneg.astype(mm), v.astype(mm),
                          preferred_element_type=jnp.float32)
               + wd * (neg_w * bg) * P)
+        if mask is not None and (sweep_vertex or sweep_context):
+            # the sweep paths park dead slots at row V-1 instead of
+            # dropping them, so their wd residue (the only unmasked term
+            # in dv/dc) must be zeroed HERE — before c_sqs/sweep slabs
+            # derive from dc — or row V-1's moments absorb phantom touches
+            dv = dv * m2[..., None]
+            dc = dc * m2[..., None]
         # STABILITY: a pool row accumulates up to Bg * neg_w weight mass at
         # one stale point; when the group's v vectors are mutually aligned
         # (community structure) the sum is coherent and lr * |dP| can exceed
@@ -313,11 +320,8 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
         if sweep_vertex and b % sweep_chunk == 0:
             # Pallas tile-sweep scatter (ops/pallas_scatter): heads are
             # sorted here (sorted edge stream, or the sort_heads front-end
-            # for walk batches). Masked (dead-walk) slots sit at row V-1
-            # with their gradients zeroed — the wd terms are the only
-            # unmasked residue in dv/dc, so zero them explicitly.
-            if mask is not None:
-                dv = dv * m2[..., None]
+            # for walk batches); masked (dead-walk) slots sit at row V-1
+            # with dv/dc already zeroed above.
             if opt.num_moment == 0:
                 from graphvite_tpu.ops.pallas_scatter import (
                     sweep_scatter_add)
@@ -345,8 +349,7 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
                 entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
         if sweep_context and mask is not None:
             # sweep ids must stay in range: masked tails park at row V-1
-            # with zeroed rows instead of the out-of-range drop sentinel
-            dc = dc * m2[..., None]
+            # (zeroed rows) instead of the out-of-range drop sentinel
             sweep_tails = jnp.where(mask > 0, tails,
                                     jnp.asarray(context.shape[0] - 1,
                                                 tails.dtype))

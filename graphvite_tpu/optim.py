@@ -144,9 +144,18 @@ def _sgd_delta(opt, lr, g, c):
 
 
 def _one_minus_pow(beta, c):
-    """1 - beta**c without the f32 cancellation (beta ~ 1): -expm1(c log b)."""
+    """1 - beta**c without the f32 cancellation (beta ~ 1).
+
+    -expm1(x) for x = c*log(beta), written WITHOUT jnp.expm1 (Mosaic has
+    no expm1 lowering, and this function is inlined into the Pallas
+    moment-sweep kernel): the |x| < 1e-4 regime where the cancellation
+    bites uses the series -x(1 + x/2 + x^2/6) (error O(x^4) ~ 1e-16),
+    larger |x| uses the direct form where f32 is fine."""
     import math
-    return -jnp.expm1(c * math.log(beta))
+    x = c * math.log(beta)
+    return jnp.where(x > -1e-4,
+                     -x * (1.0 + x / 2.0 + x * x / 6.0),
+                     1.0 - jnp.exp(x))
 
 
 def _momentum_delta(opt, lr, g, c, m1):

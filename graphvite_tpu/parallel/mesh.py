@@ -264,6 +264,7 @@ class ReplicatedEdgeTrainer:
         B = self.batch_size
         EP = self.ep_batches
         R = max(int(positive_reuse), 1)
+        self.positive_reuse = R
 
         def device_episode(tables, moments, edge_arrays, neg_state,
                            batch_id0, num_batch_total, keys):
@@ -276,9 +277,6 @@ class ReplicatedEdgeTrainer:
 
             def body(carry, i):
                 st = carry
-                # all devices consume batches concurrently: global sample
-                # progress advances n_dev per local batch
-                lr = opt.schedule_lr(batch_id0 + i * n_dev, num_batch_total)
                 key = jax.random.fold_in(key0, i)
                 ks, kt = jax.random.split(key)
                 u = jax.random.uniform(ks, (2, B))
@@ -286,9 +284,23 @@ class ReplicatedEdgeTrainer:
                 idx = jnp.minimum((u[0] * n_edge).astype(jnp.int32),
                                   n_edge - 1)
                 eid = jnp.where(u[1] < eprob[idx], idx, ealias[idx])
-                new_st, loss = step_fn(st, eheads[eid], etails[eid], kt,
-                                       lr, *neg_state)
-                return new_st, loss
+                h, t = eheads[eid], etails[eid]
+
+                def reuse_body(st, r):
+                    # each drawn positive batch is reused R times with
+                    # fresh negatives (the reference's positive_reuse);
+                    # all devices consume batches concurrently, so global
+                    # sample progress advances n_dev per local batch
+                    lr = opt.schedule_lr(batch_id0 + (i * R + r) * n_dev,
+                                         num_batch_total)
+                    return step_fn(st, h, t, jax.random.fold_in(kt, r),
+                                   lr, *neg_state)
+
+                if R == 1:
+                    return reuse_body(st, jnp.int32(0))
+                st, losses = jax.lax.scan(
+                    reuse_body, st, jnp.arange(R, dtype=jnp.int32))
+                return st, jnp.mean(losses)
 
             state, losses = jax.lax.scan(
                 body, state, jnp.arange(EP, dtype=jnp.int32))

@@ -816,7 +816,8 @@ class GraphSolver(SolverBase):
                             and _os3.environ.get("GRAPHVITE_SWEEP_GATHER",
                                                  "1") != "0"
                             and num_vertex % 8 == 0
-                            and num_vertex >= gather_tile)
+                            and num_vertex >= gather_tile
+                            and self.dim % 128 == 0)
         self._sweep_gather = use_sweep_gather
         # context-side sweep (unsorted ids, argsort front-end): same gates
         # minus the sorted stream — tails are never sorted, the kernel
@@ -925,13 +926,24 @@ class GraphSolver(SolverBase):
                         self.graph, augmentation_step, random_walk_length,
                         eff_batch, biased=(model == "node2vec"),
                         p=p, q=q))
+            # EVERY knob that shapes the compiled step must key the runner
+            # cache, or an env change between train() calls silently
+            # reuses the stale executable
+            step_shape = (use_sweep, use_sweep_ctx, use_sweep_gather,
+                          gather_tile, sort_heads,
+                          pool_size if negative_sharing else 0,
+                          int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
+                                               1024)),
+                          int(_os3.environ.get("GRAPHVITE_SWEEP_CHUNK",
+                                               256)),
+                          trust)
             cache_key = ("graph", model, self.optimizer, self.num_negative,
                          float(negative_weight), int(augmentation_step),
                          int(random_walk_length), float(p), float(q),
                          float(negative_sample_exponent),
                          bool(negative_sharing),
-                         pool_groups if negative_sharing else 0, use_sweep,
-                         use_sweep_ctx)
+                         pool_groups if negative_sharing else 0,
+                         step_shape)
             self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
                                     positive_reuse, log_frequency, False,
                                     cache_key)
@@ -1148,6 +1160,8 @@ class KnowledgeGraphSolver(SolverBase):
                 pool_groups=pool_groups, trust=trust)
         else:
             pool_groups = 0
+            pool_size = 0
+            trust = None
             step_fn = _steps.make_kg_train_step(
                 mdl, self.optimizer, self.num_negative, margin_or_l3,
                 self.adversarial_temperature, float(relation_lr_multiplier))
@@ -1159,7 +1173,8 @@ class KnowledgeGraphSolver(SolverBase):
             cache_key = ("kg", model, self.optimizer, self.num_negative,
                          float(margin_or_l3), self.adversarial_temperature,
                          float(relation_lr_multiplier),
-                         bool(negative_sharing), pool_groups)
+                         bool(negative_sharing), pool_groups, pool_size,
+                         trust)
             self._train_loop_device(step_fn, sampler, (), num_epoch,
                                     positive_reuse, log_frequency, True,
                                     cache_key)
@@ -1389,7 +1404,8 @@ class VisualizationSolver(SolverBase):
                 float(negative_weight), trust=trust)
         if self.num_worker > 1:
             self._train_loop_mesh_vis(step_fn, neg_state, num_epoch,
-                                      log_frequency)
+                                      log_frequency,
+                                      positive_reuse=positive_reuse)
             return
         if self.sampler_backend == "device":
             sampler = self._get_sampler(
@@ -1407,7 +1423,7 @@ class VisualizationSolver(SolverBase):
                          positive_reuse, log_frequency)
 
     def _train_loop_mesh_vis(self, step_fn, neg_state, num_epoch,
-                             log_frequency):
+                             log_frequency, positive_reuse=1):
         """Multi-device LargeVis (ref visualization.cuh:417-596 trains over
         4 GPUs through the same solver core): the single shared coordinate
         table is SMALL at visualization scale, so the TPU-native mode is
@@ -1433,12 +1449,14 @@ class VisualizationSolver(SolverBase):
         ep_batches = max(min(self._episode_batches(), ep_cap,
                              max(self.num_batch // W, 1)), 1)
 
+        R = max(int(positive_reuse), 1)
         key = (id(self.graph), "vismesh", self.optimizer,
-               self.num_negative, W, batch_size, ep_batches)
+               self.num_negative, W, batch_size, ep_batches, R)
         if getattr(self, "_vismesh_key", None) != key:
             mesh = make_mesh(W)
             self._vismesh_trainer = ReplicatedEdgeTrainer(
-                mesh, step_fn, self.optimizer, batch_size, ep_batches)
+                mesh, step_fn, self.optimizer, batch_size, ep_batches,
+                positive_reuse=R)
             self._vismesh_edges = self._vismesh_trainer.init_edges(
                 self.graph)
             self._vismesh_key = key
@@ -1459,7 +1477,7 @@ class VisualizationSolver(SolverBase):
             tables, moments, losses = trainer.run_episode(
                 tables, moments, self._vismesh_edges, neg_dev,
                 self.batch_id, self.num_batch, seed + self.batch_id)
-            self.batch_id += ep_batches * W
+            self.batch_id += ep_batches * R * W
             losses_acc.append(np.asarray(losses).reshape(-1))
             if self.batch_id >= next_log or self.batch_id >= self.num_batch:
                 l = np.concatenate(losses_acc)

@@ -82,3 +82,24 @@ def test_new_template(tmp_path):
     import yaml
     cfg = yaml.safe_load(open(A.file))
     assert cfg["application"] == "knowledge graph"
+
+
+def test_visualize_subcommand(tmp_path):
+    """`graphvite_tpu visualize <vectors> --label <labels> --save out.png`
+    drives the full KNN -> LargeVis -> scatter pipeline from the CLI
+    (ref cmd.py visualize)."""
+    import numpy as np
+    from graphvite_tpu import cmd
+
+    rng = np.random.default_rng(0)
+    vectors = np.concatenate([rng.normal(0, 1, (40, 8)),
+                              rng.normal(5, 1, (40, 8))]).astype(np.float32)
+    labels = np.array([0] * 40 + [1] * 40)
+    vf = tmp_path / "vec.npy"
+    lf = tmp_path / "lab.txt"
+    out = tmp_path / "plot.png"
+    np.save(vf, vectors)
+    np.savetxt(lf, labels)
+    cmd.main(["visualize", str(vf), "--label", str(lf),
+              "--save", str(out), "--perplexity", "10"])
+    assert out.exists() and out.stat().st_size > 0

@@ -378,9 +378,14 @@ def test_pool_step_sort_heads_masked_matches_xla(opt_type):
     rng = np.random.default_rng(13)
     lr_v = 0.01 if opt_type == "Adam" else 0.025
     opt = Optimizer(type=opt_type, lr=lr_v, weight_decay=5e-3)
-    heads = rng.integers(0, v - 1, b).astype(np.int32)   # unsorted
-    tails = (rng.random(b) ** 2 * (v - 1)).astype(np.int32)
+    heads = rng.integers(0, v, b).astype(np.int32)       # unsorted
+    tails = (rng.random(b) ** 2 * v).astype(np.int32)
+    # live samples MUST also hit row v-1 (the dead-slot parking row):
+    # regression for the wd/sq residue leak into v-1's moments
+    tails[:8] = v - 1
+    heads[:4] = v - 1
     mask = (rng.random(b) > 0.2).astype(np.float32)      # dead-walk slots
+    mask[:8] = 1.0
     n_mom = opt.num_moment
     vert0 = rng.normal(0, 0.1, (v, d)).astype(np.float32)
     ctx0 = rng.normal(0, 0.1, (v, d)).astype(np.float32)
