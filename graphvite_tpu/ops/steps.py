@@ -598,6 +598,21 @@ def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
     bw_hyper = margin_or_l3 if uses_margin else 0.0
     l3 = 0.0 if uses_margin else margin_or_l3
     sq_scale = M / max(k, 1)
+    import os as _os
+    # RotatE fast pooled body (exactness-tested against the generic body,
+    # tests/test_pool_steps.py): |c*e^{i phi} - t| = |c - t*e^{-i phi}|
+    # (rotation isometry), so the [Bg, M, D] negative chains reduce to ONE
+    # complex difference d = c - u with u = t*e^{-i phi} computed per
+    # SAMPLE, all rotation work dropping from O(Bg*M*D) to O(Bg*D); the
+    # candidate / staying-side / phase gradient sums then all factor
+    # through the same weighted reductions of z = gn/rho * d. Replaces the
+    # ~40 full-D elementwise passes of score+backward with ~20 half-D
+    # passes — the KG pillar is VPU-elementwise-bound (PERF.md trace).
+    # Exact only when wd == 0 (FB15k RotatE protocol, rotate_fb15k.yaml
+    # trains with weight_decay 0); wd != 0 falls back to the generic body.
+    fast_rotate = (getattr(model, "name", "") == "RotatE"
+                   and opt.weight_decay == 0.0
+                   and _os.environ.get("GRAPHVITE_KG_FAST", "1") != "0")
 
     def _reg(p, wd):
         r = wd * p
@@ -635,6 +650,143 @@ def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
         reg_hp = ghp + wp * (wd * h_pos)
         reg_tp = gtp + wp * (wd * t_pos)
         reg_rp = grp + wp * (wd * r_pos)
+
+        def fast_rotate_body(carry, xs):
+            """RotatE-specialized negative body; same `outs` contract as
+            the generic body below, derived via the rotation-isometry
+            rewrite (see make_kg_pool_step header). Exactness vs the
+            generic body is tested in tests/test_pool_steps.py."""
+            h_g, t_g, r_g, cand_g, m_g = xs
+            h = entity[h_g].astype(f32)                      # [Bg, D]
+            t = entity[t_g].astype(f32)
+            r = relation[r_g].astype(f32)
+            cand = entity[cand_g].astype(f32)                # [M, D]
+            Dh = h.shape[-1] // 2
+            h_re, h_im = h[..., 0::2], h[..., 1::2]          # [Bg, Dh]
+            t_re, t_im = t[..., 0::2], t[..., 1::2]
+            phase = r[..., :Dh]
+            cosp, sinp = jnp.cos(phase), jnp.sin(phase)      # per SAMPLE
+            # u = t * e^{-i phi} (head-corrupt frame), w = h * e^{i phi}
+            u_re = t_re * cosp + t_im * sinp
+            u_im = t_im * cosp - t_re * sinp
+            w_re = h_re * cosp - h_im * sinp
+            w_im = h_re * sinp + h_im * cosp
+            c_re = cand[..., 0::2]                           # [M, Dh]
+            c_im = cand[..., 1::2]
+
+            def side(fixed_re, fixed_im, cs_re, cs_im, sgn):
+                """One corruption side. d = sgn * (cand - fixed) per
+                (sample, candidate, dim); returns logits plus the factored
+                reductions every gradient/sq output needs.
+                sgn=+1: head-corrupt (d = c - u); sgn=-1: tail-corrupt
+                (d = w - c, written as -(c - w))."""
+                d_re = (cs_re[None, :, :] - fixed_re[:, None, :]) * sgn
+                d_im = (cs_im[None, :, :] - fixed_im[:, None, :]) * sgn
+                sq = d_re * d_re + d_im * d_im               # [Bg, M2, Dh]
+                rinv = jax.lax.rsqrt(jnp.maximum(sq, EPSILON * EPSILON))
+                logits = margin_or_l3 - jnp.sum(sq * rinv, axis=-1)
+                return d_re, d_im, rinv, logits
+
+            dh_re, dh_im, rinv_h, lg_h = side(u_re, u_im, c_re[:M2],
+                                              c_im[:M2], 1.0)
+            dt_re, dt_im, rinv_t, lg_t = side(w_re, w_im, c_re[M2:],
+                                              c_im[M2:], -1.0)
+            logits = jnp.concatenate([lg_h, lg_t], axis=-1)  # [Bg, M]
+            if adversarial_temperature > EPSILON:
+                w = jax.nn.softmax(logits / adversarial_temperature,
+                                   axis=-1)
+                w = jnp.minimum(w, 1.0)
+            else:
+                w = jnp.full_like(logits, 1.0 / M)
+            if m_g is not None:
+                w = w * m_g[:, None]
+            loss_neg = jnp.sum(w * jax.nn.softplus(logits), axis=-1)
+            gn = jax.nn.sigmoid(logits) * w                  # [Bg, M]
+
+            def side_grads(gn_s, d_re, d_im, rinv):
+                """z = (gn/rho) * d (the per-pair gradient kernel); every
+                gradient/sq output factors through raw sums of z and z^2
+                over b (candidate side) or m (sample side) — signs are
+                applied at the use sites below."""
+                alpha = gn_s[:, :, None] * rinv              # [Bg, M2, Dh]
+                z_re = alpha * d_re
+                z_im = alpha * d_im
+                zr2 = z_re * z_re
+                zi2 = z_im * z_im
+                zri = z_re * z_im
+                B_re = jnp.sum(z_re, axis=0)                 # [M2, Dh]
+                B_im = jnp.sum(z_im, axis=0)
+                B_rr = jnp.sum(zr2, axis=0)
+                B_ii = jnp.sum(zi2, axis=0)
+                E_re = jnp.sum(z_re, axis=1)                 # [Bg, Dh]
+                E_im = jnp.sum(z_im, axis=1)
+                S_rr = jnp.sum(zr2, axis=1)
+                S_ii = jnp.sum(zi2, axis=1)
+                S_ri = jnp.sum(zri, axis=1)
+                return ((B_re, B_im, B_rr, B_ii),
+                        (E_re, E_im, S_rr, S_ii, S_ri))
+
+            need_sq = opt.num_moment > 0
+            (cgh, (Eh_re, Eh_im, Sh_rr, Sh_ii, Sh_ri)) = side_grads(
+                gn[:, :M2], dh_re, dh_im, rinv_h)
+            (cgt, (Et_re, Et_im, St_rr, St_ii, St_ri)) = side_grads(
+                gn[:, M2:], dt_re, dt_im, rinv_t)
+
+            def interleave(re, im):
+                out = jnp.stack([re, im], axis=-1)
+                return out.reshape(out.shape[:-2] + (-1,))
+
+            # head-corrupt: d = c - u, dL/dc = -z, dL/dt = +R^{+phi}(z)
+            # (gradient of |c - t e^{-i phi}| pulled back through the
+            # unitary frame). tail-corrupt: d = w - c, dL/dc = +z,
+            # dL/dh = -R^{-phi}(z).
+            tail_g = interleave(Eh_re * cosp - Eh_im * sinp,
+                                Eh_re * sinp + Eh_im * cosp)
+            head_g = -interleave(Et_re * cosp + Et_im * sinp,
+                                 Et_im * cosp - Et_re * sinp)
+            # phase gradient per pair: dL/dphi = z_re*f_im - z_im*f_re
+            # (f = the rotated frame: u on the head side, w on the tail
+            # side; matches model/knowledge_graph.h:497-498 after the
+            # frames cancel the rotations)
+            gphase = ((Eh_re * u_im - Eh_im * u_re)
+                      + (Et_re * w_im - Et_im * w_re))
+            rel_g = jnp.concatenate([gphase, jnp.zeros_like(gphase)],
+                                    axis=-1)
+            outs = {
+                "cand": jnp.concatenate(
+                    [interleave(-cgh[0], -cgh[1]),
+                     interleave(cgt[0], cgt[1])]),           # [M, D]
+                "head": head_g,
+                "tail": tail_g,
+                "rel": rel_g,
+                "loss": loss_neg,
+                "msum": (jnp.float32(bg) if m_g is None
+                         else jnp.sum(m_g)),
+            }
+            if need_sq:
+                outs["cand_sqs"] = sq_scale * jnp.concatenate(
+                    [interleave(cgh[2], cgh[3]),
+                     interleave(cgt[2], cgt[3])])
+                # staying-side squares: the per-pair grad is a rotation of
+                # z, so sum_m (R z)_re^2 = cos^2*S_rr +- 2 cos sin*S_ri
+                # + sin^2*S_ii (rotation mixes re/im BEFORE the square)
+                c2, s2, cs = cosp * cosp, sinp * sinp, cosp * sinp
+                # tail row rotated by +phi: re = z_re cos - z_im sin
+                outs["tail_sqs"] = sq_scale * interleave(
+                    c2 * Sh_rr - 2.0 * cs * Sh_ri + s2 * Sh_ii,
+                    s2 * Sh_rr + 2.0 * cs * Sh_ri + c2 * Sh_ii)
+                # head row rotated by -phi: re = z_re cos + z_im sin
+                outs["head_sqs"] = sq_scale * interleave(
+                    c2 * St_rr + 2.0 * cs * St_ri + s2 * St_ii,
+                    s2 * St_rr - 2.0 * cs * St_ri + c2 * St_ii)
+                # phase grad per pair = z_re*f_im - z_im*f_re (f = frame)
+                ph_h = (u_im * u_im * Sh_rr - 2.0 * u_re * u_im * Sh_ri
+                        + u_re * u_re * Sh_ii)
+                ph_t = (w_im * w_im * St_rr - 2.0 * w_re * w_im * St_ri
+                        + w_re * w_re * St_ii)
+                outs["rel_sqs"] = sq_scale * jnp.concatenate(
+                    [ph_h + ph_t, jnp.zeros_like(ph_h)], axis=-1)
+            return carry, outs
 
         def body(carry, xs):
             h_g, t_g, r_g, cand_g, m_g = xs
@@ -706,7 +858,8 @@ def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
         xs = (heads.reshape(G, bg), tails.reshape(G, bg),
               rels.reshape(G, bg), cand_ids,
               None if maskf is None else maskf.reshape(G, bg))
-        _, outs = jax.lax.scan(body, 0, xs)
+        _, outs = jax.lax.scan(fast_rotate_body if fast_rotate else body,
+                               0, xs)
 
         # ---- assemble entity updates -----------------------------------
         head_grad = reg_hp + outs["head"].reshape(b, -1)

@@ -345,3 +345,47 @@ def test_kg_pool_step_gradients_match_autodiff():
         np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                    rtol=3e-4, atol=3e-5,
                                    err_msg="relation grads (%s)" % name)
+
+
+def test_kg_fast_rotate_body_matches_generic(monkeypatch):
+    """The RotatE-specialized pooled body (rotation-isometry rewrite,
+    steps.py fast_rotate_body) must produce the same updated tables,
+    moments, and loss as the generic body — same RNG key, so the same
+    candidate draws — for both SGD and Adam (sq slabs), with and without
+    a mask."""
+    rng = np.random.default_rng(3)
+    V, R_, D, B, K = 40, 6, 16, 12, 4
+    M, G = 8, 2
+    heads = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, B), jnp.int32)
+    rels = jnp.asarray(rng.integers(0, R_, B), jnp.int32)
+    entity = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    relation = jnp.asarray(rng.normal(size=(R_, D)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    mdl = KG_MODELS["RotatE"]
+
+    for opt in (Optimizer(type="SGD", lr=0.05, weight_decay=0.0),
+                Optimizer(type="Adam", lr=1e-3, weight_decay=0.0)):
+        for mask in (None,
+                     jnp.asarray(rng.integers(0, 2, B), jnp.float32)):
+            moms = tuple(jnp.zeros((V, D), jnp.float32)
+                         for _ in range(opt.num_moment))
+            rmoms = tuple(jnp.zeros((R_, D), jnp.float32)
+                          for _ in range(opt.num_moment))
+            state = {"tables": (entity, relation),
+                     "moments": (moms, rmoms)}
+            outs = {}
+            for fast in ("0", "1"):
+                monkeypatch.setenv("GRAPHVITE_KG_FAST", fast)
+                step = _steps.make_kg_pool_step(
+                    mdl, opt, K, 9.0, 2.0, 1.0, pool_size=M,
+                    pool_groups=G, trust=None)
+                outs[fast] = step(state, heads, tails, rels, key,
+                                  jnp.float32(opt.lr), mask=mask)
+            (st0, loss0), (st1, loss1) = outs["0"], outs["1"]
+            np.testing.assert_allclose(float(loss0), float(loss1),
+                                       rtol=2e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(st0),
+                            jax.tree_util.tree_leaves(st1)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-4, atol=2e-5)
