@@ -190,8 +190,9 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
     """Build the on-device walk generator shared by the single-chip
     DeviceWalkSampler and the multichip walk-pool path (parallel/mesh.py).
 
-    Returned fn(key, edge_prob, edge_alias, heads, tails, indptr, indices,
+    Returned fn(key, edge_prob, edge_alias, heads, tails, vdeg, indices,
     nbr_prob, nbr_alias, [sorted_indices]) -> (chain [L+1, W], valid [L+1, W])
+    where vdeg is the packed [V, 2] (CSR row start, degree) array
     where `valid[j]` means all steps up to position j were alive
     (graph.cuh:399-449 semantics: walks truncate at dead ends).
 
@@ -201,10 +202,16 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
     """
     L, W = int(walk_length), int(num_walk)
 
-    def step_neighbor(indptr, indices, nbr_prob, nbr_alias, v, u1, u2):
-        """First-order alias step from vertices v; returns (next, alive)."""
-        start = indptr[v]
-        deg = indptr[v + 1] - start
+    def step_neighbor(vdeg, indices, nbr_prob, nbr_alias, v, u1, u2):
+        """First-order alias step from vertices v; returns (next, alive).
+
+        `vdeg` packs (row start, degree) as one [V, 2] i32 array so the
+        CSR lookup costs ONE row gather instead of two scalar gathers —
+        random row gathers cost ~11.5 ns/row on v5e REGARDLESS of row
+        width (PERF.md), and the L-step walk scan is gather-count bound."""
+        row = vdeg[v]
+        start = row[..., 0]
+        deg = row[..., 1]
         alive = deg > 0
         safe_deg = jnp.maximum(deg, 1)
         idx = jnp.minimum((u1 * safe_deg).astype(jnp.int32), safe_deg - 1)
@@ -215,7 +222,7 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
         nxt = indices[flat]
         return jnp.where(alive, nxt, v), alive
 
-    def chain_fn(key, edge_prob, edge_alias, heads, tails, indptr, indices,
+    def chain_fn(key, edge_prob, edge_alias, heads, tails, vdeg, indices,
                  nbr_prob, nbr_alias, *rest):
         kk = jax.random.split(key, 3)
         u1 = jax.random.uniform(kk[0], (W,))
@@ -229,7 +236,7 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
                 v, alive = carry
                 w1, w2 = xs
                 nxt, step_alive = step_neighbor(
-                    indptr, indices, nbr_prob, nbr_alias, v, w1, w2)
+                    vdeg, indices, nbr_prob, nbr_alias, v, w1, w2)
                 alive = alive & step_alive
                 nxt = jnp.where(alive, nxt, v)
                 return (nxt, alive), (nxt, alive)
@@ -247,8 +254,10 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
             def in_neighbors(x, u):
                 """u in N(x) via binary search on the row-sorted CSR
                 (int32-safe; the u*V+t key trick overflows int32)."""
-                lo = indptr[x]
-                hi = indptr[x + 1]
+                row = vdeg[x]
+                lo = row[..., 0]
+                hi0 = lo + row[..., 1]
+                hi = hi0
                 n_edge = sorted_idx.shape[0]
 
                 def bs_body(_, state):
@@ -262,7 +271,7 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
 
                 lo, hi = jax.lax.fori_loop(0, bs_iters, bs_body, (lo, hi))
                 found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
-                return found & (lo < indptr[x + 1])
+                return found & (lo < hi0)
 
             # R parallel proposals per rejection round keeps the sampler
             # exact (first-accepted-of-an-ordered-stream), but the loop is
@@ -289,7 +298,7 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
                     pk = jax.random.fold_in(step_key, k)
                     w1, w2, racc = jax.random.uniform(pk, (3, R, W))
                     cand, _ = step_neighbor(
-                        indptr, indices, nbr_prob, nbr_alias, vb, w1, w2)
+                        vdeg, indices, nbr_prob, nbr_alias, vb, w1, w2)
                     # reference tests neighbors[x].find(u), i.e. edge
                     # x -> u with x = candidate, u = previous vertex
                     # (graph.cuh:668)
@@ -311,8 +320,7 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
                     _, accepted, k = state
                     return (~jnp.all(accepted)) & (k < 64 // R)
 
-                deg = indptr[v + 1] - indptr[v]
-                step_alive = deg > 0
+                step_alive = vdeg[v][..., 1] > 0
                 init = (v, ~step_alive, jnp.int32(0))  # dead lanes skip
                 nxt, _, _ = jax.lax.while_loop(not_done, propose, init)
                 alive = alive & step_alive
@@ -367,7 +375,7 @@ class DeviceWalkSampler:
     edge_alias: jax.Array    # [E] i32
     heads: jax.Array         # [E] i32
     tails: jax.Array         # [E] i32
-    indptr: jax.Array        # [V+1] i32 CSR
+    vdeg: jax.Array          # [V, 2] i32: packed (CSR row start, degree)
     indices: jax.Array       # [Ed] i32
     nbr_prob: jax.Array      # [Ed] f32  per-vertex packed alias (or empty)
     nbr_alias: jax.Array     # [Ed] i32
@@ -420,7 +428,9 @@ class DeviceWalkSampler:
             edge_alias=jnp.asarray(t.alias, jnp.int32),
             heads=jnp.asarray(graph.edge_heads, jnp.int32),
             tails=jnp.asarray(graph.edge_tails, jnp.int32),
-            indptr=jnp.asarray(graph.indptr, jnp.int32),
+            vdeg=jnp.asarray(np.stack(
+                [graph.indptr[:-1], np.diff(graph.indptr)],
+                axis=1), jnp.int32),
             indices=jnp.asarray(graph.indices, jnp.int32),
             nbr_prob=jnp.asarray(nbr_prob),
             nbr_alias=jnp.asarray(nbr_alias),
@@ -430,7 +440,7 @@ class DeviceWalkSampler:
 
     def arrays(self):
         out = [self.edge_prob, self.edge_alias, self.heads, self.tails,
-               self.indptr, self.indices, self.nbr_prob, self.nbr_alias]
+               self.vdeg, self.indices, self.nbr_prob, self.nbr_alias]
         if self.biased:
             out.append(self.sorted_indices)
         return tuple(out)
@@ -448,5 +458,36 @@ class DeviceWalkSampler:
             h, t, m = emit_walk_pairs(chain, valid, aug)
             return (h[:batch_size], t[:batch_size],
                     m[:batch_size].astype(jnp.float32))
+
+        return sample
+
+    def make_episode_sample_fn(self, batch_size: int, n_batches: int):
+        """All `n_batches` batches' walks in ONE chain call (W * n lanes).
+
+        The L-step walk scan is FIXED-OVERHEAD bound at per-batch lane
+        counts (a 39-iteration lax.scan of ~2k-lane gathers spends ~10x
+        more on per-iteration overhead than on gather elements — device
+        trace, PERF.md round 4), so generating the whole episode's walks
+        in one wide call amortizes the scan overhead n_batches-fold.
+        Returns fn(key, *arrays) -> (heads, tails, mask) each
+        [n_batches, batch_size]; batch g gets walks g*W..(g+1)*W-1,
+        matching the per-batch sampler's semantics."""
+        assert batch_size == self.batch_size
+        aug = self.augmentation_step
+        W, n = self.num_walk, int(n_batches)
+        chain_fn = make_walk_chain_fn(self.uniform, self.walk_length,
+                                      W * n, biased=self.biased,
+                                      p=self.p, q=self.q,
+                                      bs_iters=self.bs_iters)
+
+        def sample(key, *arrays):
+            chain, valid = chain_fn(key, *arrays)   # [L+1, W*n]
+            h, t, m = emit_walk_pairs(chain, valid, aug)
+            # emit_walk_pairs is walk-major, so reshaping to [n, W*ppw]
+            # gives each batch its own W consecutive walks
+            h = h.reshape(n, -1)[:, :batch_size]
+            t = t.reshape(n, -1)[:, :batch_size]
+            m = m.reshape(n, -1)[:, :batch_size].astype(jnp.float32)
+            return h, t, m
 
         return sample

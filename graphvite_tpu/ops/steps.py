@@ -1197,7 +1197,8 @@ def make_micro_step(step_fn, num_micro: int, has_relation: bool = False):
 # ---------------------------------------------------------------------------
 
 def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
-                      positive_reuse: int = 1, has_relation: bool = False):
+                      positive_reuse: int = 1, has_relation: bool = False,
+                      bulk_sample_fn=None):
     """Compile a runner that trains `ep_groups * positive_reuse` batches per
     device call, generating positives via `sample_fn(key, *sampler_arrays)`
     inside jit. Each group reuses its positives `positive_reuse` times with
@@ -1207,6 +1208,13 @@ def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
     `num_batch_total` (the LR-schedule denominator, solver.h:607) is a
     traced argument so one compiled executable serves any run length.
 
+    With `bulk_sample_fn` (walk samplers), ALL ep_groups batches of
+    positives are generated in one wide call before the training scan —
+    the L-step walk scan is fixed-overhead bound at per-batch lane counts,
+    so this amortizes it ep_groups-fold (device trace, PERF.md round 4).
+    The reference does the same thing one level up: its CPU samplers fill
+    the whole episode pool before the GPUs train it (solver.h:417-462).
+
     Returned callable: run(state, batch_id0, num_batch_total, base_key,
     sampler_arrays, neg_state) -> (state, losses[ep_groups * positive_reuse]).
     """
@@ -1215,11 +1223,20 @@ def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
     def run(state, batch_id0, num_batch_total, base_key, sampler_arrays,
             neg_state):
+        if bulk_sample_fn is not None:
+            # fold value ep_groups cannot collide with any group's key
+            # (groups fold g in [0, ep_groups))
+            pool = bulk_sample_fn(jax.random.fold_in(base_key, ep_groups),
+                                  *sampler_arrays)
+
         def group(carry, g):
             st = carry
             key = jax.random.fold_in(base_key, g)
             ks, kt = jax.random.split(key)
-            out = sample_fn(ks, *sampler_arrays)
+            if bulk_sample_fn is not None:
+                out = tuple(x[g] for x in pool)
+            else:
+                out = sample_fn(ks, *sampler_arrays)
 
             def reuse_body(st, r):
                 i = g * R + r

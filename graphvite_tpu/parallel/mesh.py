@@ -636,10 +636,14 @@ class ShardedGraphTrainer:
             packed = PackedAliasTables(w, graph.indptr)
             nbr_prob = packed.prob.astype(np.float32)
             nbr_alias = packed.alias.astype(np.int32)
+        indptr = np.asarray(graph.indptr)
         arrays = [t.prob.astype(np.float32), t.alias.astype(np.int32),
                   np.asarray(graph.edge_heads, np.int32),
                   np.asarray(graph.edge_tails, np.int32),
-                  np.asarray(graph.indptr, np.int32),
+                  # packed (CSR row start, degree): one row gather per
+                  # walk step instead of two scalar indptr gathers
+                  np.stack([indptr[:-1], np.diff(indptr)],
+                           axis=1).astype(np.int32),
                   np.asarray(graph.indices, np.int32),
                   nbr_prob, nbr_alias]
         if self.walk_cfg.get("biased"):

@@ -12,6 +12,7 @@ the next pool on a background thread.
 from __future__ import annotations
 
 import math
+import os as _os_env
 
 import numpy as np
 import jax
@@ -148,7 +149,7 @@ class SolverBase:
         return sampler
 
     def _get_runner(self, cache_key, step_fn, sample_fn, ep_groups, R,
-                    has_relation):
+                    has_relation, bulk_sample_fn=None):
         """Memoize compiled runners across train() calls: a new closure would
         be a new jit cache entry and recompiling costs ~1 min through the
         remote-compile tunnel."""
@@ -158,7 +159,7 @@ class SolverBase:
         if runner is None:
             runner = _steps.make_fused_runner(
                 step_fn, sample_fn, self.optimizer, ep_groups, R,
-                has_relation)
+                has_relation, bulk_sample_fn=bulk_sample_fn)
             self._runner_cache[cache_key] = runner
         return runner
 
@@ -433,15 +434,27 @@ class SolverBase:
         # clamp so short runs don't overshoot by a whole episode
         ep_groups = max(min(self._episode_batches(), self.num_batch) // R, 1)
         sample_fn = sampler.make_sample_fn(batch_size)
+        # opt-in: generate the WHOLE episode's walks in one wide call (see
+        # make_episode_sample_fn). Measured +0.8% on the DeepWalk bench
+        # (14.23M vs 14.11M slots/s) — the walk scan turned out to be
+        # gather-ELEMENT bound, not overhead bound, so the amortization
+        # buys little; kept opt-in (GRAPHVITE_BULK_WALKS=1) because one
+        # long-window run with it showed an unreproduced 3x slowdown.
+        bulk_fn = None
+        if (hasattr(sampler, "make_episode_sample_fn") and ep_groups > 1
+                and _os_env.environ.get("GRAPHVITE_BULK_WALKS",
+                                        "0") == "1"):
+            bulk_fn = sampler.make_episode_sample_fn(batch_size, ep_groups)
         if cache_key is None:
             runner = _steps.make_fused_runner(
                 step_fn, sample_fn, self.optimizer, ep_groups, R,
-                has_relation)
+                has_relation, bulk_sample_fn=bulk_fn)
         else:
             runner = self._get_runner(
                 cache_key + (ep_groups, R, has_relation, self.batch_size,
-                             num_micro),
-                step_fn, sample_fn, ep_groups, R, has_relation)
+                             num_micro, bulk_fn is not None),
+                step_fn, sample_fn, ep_groups, R, has_relation,
+                bulk_sample_fn=bulk_fn)
         sampler_arrays = sampler.arrays()
         key = jax.random.PRNGKey(self.seed + self.batch_id)
         logger.info("training %s: %d batches of %d "

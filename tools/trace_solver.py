@@ -59,6 +59,14 @@ def run(which, trace_dir):
         kw = dict(model="RotatE", margin=24, adversarial_temperature=2,
                   log_frequency=10**9)
         epochs = 1
+    elif which == "deepwalk":
+        from graphvite_tpu.solver import GraphSolver
+        g = bench.synthetic_graph()
+        solver = GraphSolver(dim=128, float_type="bfloat16")
+        solver.build(g, num_negative=1, batch_size=200000, episode_size=50)
+        kw = dict(model="DeepWalk", augmentation_step=2,
+                  random_walk_length=40, log_frequency=10**9)
+        epochs = 3
     else:
         from graphvite_tpu.solver import GraphSolver
         g = bench.synthetic_graph()
