@@ -92,19 +92,17 @@ def synthetic_kg(num_entity=14_951, num_relation=1_345, num_triplet=483_142,
     return g
 
 
-def valid_fraction(solver, biased=False, p=1.0, q=1.0, n_probe=8):
-    """Mean mask fraction of the walk sampler the solver just trained with
-    (dead-walk slots are emitted with mask 0 and must not count as pairs)."""
+def valid_fraction(solver, n_probe=8, **_ignored):
+    """Mean mask fraction of the sampler the solver just trained with
+    (dead-walk/boundary slots are emitted with mask 0 and must not count
+    as pairs). Uses the EXACT sample_fn the training loop compiled —
+    pair-major and position-major (multi-tail) layouts both end in a
+    mask array."""
     import jax
     import jax.numpy as jnp
-    from graphvite_tpu.ops.device_sampler import DeviceWalkSampler
 
-    s = solver._get_sampler(
-        ("walk", 2, 40, biased, p, q, solver.effective_batch),
-        lambda: DeviceWalkSampler.build(solver.graph, 2, 40,
-                                        solver.effective_batch,
-                                        biased=biased, p=p, q=q))
-    fn = s.make_sample_fn(solver.effective_batch)
+    fn = solver._active_sample_fn
+    s = solver._active_sampler
 
     @jax.jit
     def probe(key, arrays):

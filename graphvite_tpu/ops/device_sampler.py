@@ -343,6 +343,47 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
     return chain_fn
 
 
+def emit_walk_positions(chain, valid, aug, bidir=False):
+    """Position-major emission: one SAMPLE per walk position, carrying all
+    its augmentation tails. Returns (heads [P], tails [P, T], tmask [P, T])
+    with P = W * (L+1) and T = aug (or 2*aug with `bidir`).
+
+    This is the exact regrouping of emit_walk_pairs' (v_j, v_{j+k}) pairs
+    by their head position: the multi-tail pool step scores/updates each
+    head row ONCE for all its tails, dividing head row traffic and
+    negative scoring by T (walk heads are unsorted, so unlike LINE's
+    sorted stream they cannot ride the sweep kernels — shrinking the row
+    count is the lever that remains). With `bidir`, reversed pairs
+    (v_{j+k}, v_j) are also emitted as tails at negative offsets: on an
+    undirected graph the reversed trajectory of an edge-stationary walk
+    has the same law (alias-sampled start edges ARE stationary), so this
+    doubles pairs per walk at zero extra walk cost."""
+    L = chain.shape[0] - 1
+    W = chain.shape[1]
+    offsets = list(range(1, aug + 1))
+    if bidir:
+        offsets += [-k for k in range(1, aug + 1)]
+    ts, ms = [], []
+    for k in offsets:
+        if k > 0:
+            t = jnp.concatenate([chain[k:], jnp.zeros((k, W), chain.dtype)])
+            m = jnp.concatenate([valid[k:] & valid[: L + 1 - k],
+                                 jnp.zeros((k, W), jnp.bool_)])
+        else:
+            t = jnp.concatenate([jnp.zeros((-k, W), chain.dtype),
+                                 chain[:k]])
+            m = jnp.concatenate([jnp.zeros((-k, W), jnp.bool_),
+                                 valid[:k] & valid[-k:]])
+        ts.append(t)
+        ms.append(m)
+    heads = chain.T.reshape(-1)                              # [W*(L+1)]
+    tails = jnp.stack(ts, axis=-1).transpose(1, 0, 2).reshape(
+        W * (L + 1), -1)
+    tmask = jnp.stack(ms, axis=-1).transpose(1, 0, 2).reshape(
+        W * (L + 1), -1)
+    return heads, tails, tmask
+
+
 def emit_walk_pairs(chain, valid, aug):
     """Emit all (v_j, v_{j+k}) pairs for k = 1..aug, interleaved walk-major
     ([W, pairs_per_walk] flattened) so truncation drops whole trailing walks
@@ -392,10 +433,17 @@ class DeviceWalkSampler:
     sorted_indices: Optional[jax.Array] = None  # [Ed] i32: CSR indices, each
     #                                             vertex's row sorted (for
     #                                             int32-safe membership search)
+    # position-major mode (emit_walk_positions): one sample per walk
+    # position carrying num_tail tails; W sized so (L+1) positions per
+    # walk cover batch_size // num_tail samples
+    position_major: bool = False
+    bidir: bool = False
+    num_tail: int = 0
 
     @classmethod
     def build(cls, graph, augmentation_step, walk_length, batch_size,
-              biased=False, p=1.0, q=1.0):
+              biased=False, p=1.0, q=1.0, position_major=False,
+              bidir=False):
         t = AliasTable(graph.edge_weights)
         w = np.asarray(graph.csr_weights, np.float64)
         uniform = bool(w.size == 0 or np.all(w == w[0]))
@@ -407,9 +455,17 @@ class DeviceWalkSampler:
             nbr_prob = packed.prob.astype(np.float32)
             nbr_alias = packed.alias.astype(np.int32)
         L, aug = int(walk_length), int(augmentation_step)
-        pairs_per_walk = sum(L + 1 - k for k in range(1, aug + 1))
-        num_walk = max(int(math.ceil(batch_size / pairs_per_walk)), 1)
         kw = {}
+        if position_major:
+            T = aug * (2 if bidir else 1)
+            if batch_size % T:
+                raise ValueError("batch_size %d must be a multiple of the "
+                                 "tail count %d" % (batch_size, T))
+            num_walk = max(int(math.ceil(batch_size // T / (L + 1))), 1)
+            kw.update(position_major=True, bidir=bool(bidir), num_tail=T)
+        else:
+            pairs_per_walk = sum(L + 1 - k for k in range(1, aug + 1))
+            num_walk = max(int(math.ceil(batch_size / pairs_per_walk)), 1)
         if biased:
             # row-sorted CSR indices: lexsort by (source, neighbor) keeps
             # rows contiguous with neighbors ascending within each row
@@ -418,7 +474,7 @@ class DeviceWalkSampler:
                                           np.diff(graph.indptr))))
             deg = np.diff(graph.indptr)
             max_deg = int(deg.max()) if deg.size else 1
-            kw = dict(biased=True, p=float(p), q=float(q),
+            kw.update(biased=True, p=float(p), q=float(q),
                       bs_iters=max(int(math.ceil(math.log2(max_deg + 1)))
                                    + 1, 1),
                       sorted_indices=jnp.asarray(graph.indices[order],
@@ -452,6 +508,18 @@ class DeviceWalkSampler:
                                       self.num_walk, biased=self.biased,
                                       p=self.p, q=self.q,
                                       bs_iters=self.bs_iters)
+        if self.position_major:
+            T = self.num_tail
+            bp = batch_size // T
+            bidir = self.bidir
+
+            def sample(key, *arrays):
+                chain, valid = chain_fn(key, *arrays)
+                h, t, m = emit_walk_positions(chain, valid, aug,
+                                              bidir=bidir)
+                return (h[:bp], t[:bp], m[:bp].astype(jnp.float32))
+
+            return sample
 
         def sample(key, *arrays):
             chain, valid = chain_fn(key, *arrays)

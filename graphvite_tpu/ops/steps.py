@@ -393,6 +393,126 @@ def make_graph_pool_step(opt: Optimizer, num_negative: int,
     return step
 
 
+def make_graph_pool_multitail_step(opt: Optimizer, num_negative: int,
+                                   negative_weight: float, num_tail: int,
+                                   pool_size: int = 128,
+                                   pool_groups: int = 8,
+                                   trust: float = 0.25):
+    """Shared-negative-pool graph step over POSITION-MAJOR walk samples:
+    each sample is one walk position (head) with `num_tail` augmentation
+    tails (emit_walk_positions). Exact regrouping of make_graph_pool_step
+    over the expanded (head, tail) pairs — same gradients, same moment
+    counts/squares (exactness-tested in tests/test_pool_steps.py) — but
+    the head row is gathered/scattered ONCE for its T pairs and the
+    negative pool is scored ONCE per head instead of once per pair:
+    head row traffic and the pool einsums shrink by T. Walk heads arrive
+    unsorted (no sweep kernels apply), so cutting row COUNT is the lever
+    (gpu/graph.cuh:59-93 keeps the vertex row in registers across
+    subsamples for the same reason).
+
+    step(state, heads [B], tails [B, T], key, lr, *neg_state,
+         mask [B, T]) -> (state, loss); B must divide pool_groups."""
+    k = num_negative
+    M = int(pool_size)
+    G = int(pool_groups)
+    T = int(num_tail)
+    neg_w = float(negative_weight) * k / M
+
+    def step(state, heads, tails, key, lr, *neg_state, mask=None):
+        vertex, context = state["tables"]
+        v_moms, c_moms = state["moments"]
+        b = heads.shape[0]
+        assert b % G == 0, "batch must divide pool_groups"
+        bg = b // G
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (G, M))
+        u2 = jax.random.uniform(k2, (G, M))
+        pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
+
+        if mask is None:
+            mask = jnp.ones((b, T), jnp.float32)
+        m3 = mask.reshape(G, bg, T)
+        cnt = jnp.sum(m3, axis=-1)                           # [G, Bg]
+
+        v = vertex[heads].reshape(G, bg, -1).astype(jnp.float32)
+        c = context[tails.reshape(-1)].reshape(G, bg, T, -1).astype(
+            jnp.float32)
+        P = context[pool_ids].astype(jnp.float32)            # [G, M, D]
+
+        pos_logit = jnp.einsum("gbd,gbtd->gbt", v, c,
+                               preferred_element_type=jnp.float32)
+        neg_logits = jnp.einsum("gbd,gmd->gbm", v, P,
+                                preferred_element_type=jnp.float32)
+        gpos = (jax.nn.sigmoid(pos_logit) - 1.0) * m3        # [G, Bg, T]
+        # per-HEAD negative gradient: each of its cnt pairs contributes
+        # sigmoid(v.P) * neg_w, so the head total carries weight cnt
+        gneg_u = jax.nn.sigmoid(neg_logits) * neg_w          # [G, Bg, M]
+        gneg = gneg_u * cnt[..., None]
+        n_active = jnp.sum(mask)
+        loss_terms = (jnp.sum(m3 * jax.nn.softplus(-pos_logit), axis=-1)
+                      + cnt * (neg_w * jnp.sum(jax.nn.softplus(neg_logits),
+                                               axis=-1)))
+        mean_loss = (jnp.sum(loss_terms) / jnp.maximum(n_active, 1.0)
+                     / (1.0 + k * negative_weight))
+
+        wd = opt.weight_decay
+        dv = (jnp.einsum("gbt,gbtd->gbd", gpos, c,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("gbm,gmd->gbd", gneg, P,
+                           preferred_element_type=jnp.float32)
+              + (wd * (1.0 + M * neg_w)) * cnt[..., None] * v)
+        dc = gpos[..., None] * v[:, :, None, :] + wd * c     # [G,Bg,T,D]
+        dc = jnp.where(m3[..., None] > 0, dc, 0.0)
+        dP = (jnp.einsum("gbm,gbd->gmd", gneg, v,
+                         preferred_element_type=jnp.float32)
+              + wd * (neg_w * bg * T) * P)
+        if trust is not None:
+            dnorm = jnp.linalg.norm(dP, axis=-1, keepdims=True)
+            limit = (trust * (jnp.linalg.norm(P, axis=-1, keepdims=True)
+                              + 1e-2)
+                     / jnp.maximum(lr, EPSILON))
+            dP = dP * jnp.minimum(1.0, limit / jnp.maximum(dnorm, EPSILON))
+
+        v_counts = v_sqs = c_counts = c_sqs = None
+        if opt.num_moment > 0:
+            sq_scale = M / max(k, 1)
+            v_counts = ((k + 1.0) * cnt).reshape(b)
+            v_sqs = (jnp.einsum("gbt,gbtd->gbd", gpos * gpos, c * c,
+                                preferred_element_type=jnp.float32)
+                     + sq_scale * cnt[..., None] * jnp.einsum(
+                         "gbm,gmd->gbd", gneg_u ** 2, P ** 2,
+                         preferred_element_type=jnp.float32)).reshape(b, -1)
+            p_counts = jnp.broadcast_to(
+                jnp.sum(cnt, axis=1)[:, None] * (k / M), (G, M))
+            c_counts = jnp.concatenate([mask.reshape(-1),
+                                        p_counts.reshape(-1)])
+            p_sqs = sq_scale * jnp.einsum(
+                "gbm,gbd->gmd", gneg_u ** 2 * cnt[..., None], v ** 2,
+                preferred_element_type=jnp.float32)
+            c_sqs = jnp.concatenate(
+                [(dc ** 2).reshape(b * T, -1), p_sqs.reshape(G * M, -1)])
+
+        head_mask = (cnt > 0).reshape(b).astype(jnp.float32)
+        new_vertex, new_v_moms = apply_row_updates(
+            vertex, v_moms, _mask_ids(heads, head_mask, vertex.shape[0]),
+            dv.reshape(b, -1), opt, lr,
+            entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
+        ctx_ids = jnp.concatenate(
+            [_mask_ids(tails.reshape(-1), mask.reshape(-1),
+                       context.shape[0]),
+             pool_ids.reshape(-1)])
+        ctx_grads = jnp.concatenate(
+            [dc.reshape(b * T, -1), dP.reshape(G * M, -1)])
+        new_context, new_c_moms = apply_row_updates(
+            context, c_moms, ctx_ids, ctx_grads, opt, lr,
+            entry_counts=c_counts, entry_sqs=c_sqs, trust=trust)
+        new_state = {"tables": (new_vertex, new_context),
+                     "moments": (new_v_moms, new_c_moms)}
+        return new_state, mean_loss
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # knowledge graph (tied entity table + global relation table;
 # ref gpu/knowledge_graph.cuh)
@@ -1172,10 +1292,12 @@ def make_micro_step(step_fn, num_micro: int, has_relation: bool = False):
 
     def step(state, heads, tails, key, lr, *neg_state, mask=None):
         bm = heads.shape[0] // R
-        xs = [heads.reshape(R, bm), tails.reshape(R, bm),
+        # tails/mask may carry a trailing tail dim (multi-tail steps)
+        xs = [heads.reshape(R, bm),
+              tails.reshape((R, bm) + tails.shape[1:]),
               jax.random.split(key, R)]
         if mask is not None:
-            xs.append(mask.reshape(R, bm))
+            xs.append(mask.reshape((R, bm) + mask.shape[1:]))
 
         def body(st, x):
             if mask is None:

@@ -401,6 +401,10 @@ class SolverBase:
             # stream chunks (1024) — a partial chunk would force the
             # anti-truncation-bias roll, leaving 2 sorted runs
             unit = 1024
+        T = int(getattr(self, "_multitail_T", 0) or 0)
+        if T > 1:
+            # position-major walk batches must split into T tails per head
+            unit = unit * T // math.gcd(unit, T)
         eff = max(eff // unit * unit, unit)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
@@ -442,9 +446,13 @@ class SolverBase:
         # long-window run with it showed an unreproduced 3x slowdown.
         bulk_fn = None
         if (hasattr(sampler, "make_episode_sample_fn") and ep_groups > 1
+                and not getattr(sampler, "position_major", False)
                 and _os_env.environ.get("GRAPHVITE_BULK_WALKS",
                                         "0") == "1"):
             bulk_fn = sampler.make_episode_sample_fn(batch_size, ep_groups)
+        # what the bench's valid-fraction probe introspects
+        self._active_sample_fn = sample_fn
+        self._active_sampler = sampler
         if cache_key is None:
             runner = _steps.make_fused_runner(
                 step_fn, sample_fn, self.optimizer, ep_groups, R,
@@ -809,13 +817,35 @@ class GraphSolver(SolverBase):
         elif use_sweep:
             # walk mode: pairs arrive in emission order; the sort_heads
             # front-end (in-step argsort) can unlock the sweeps, but
-            # MEASURED on v5e it loses — 8.58M vs 13.72M pair-slots/s
-            # with plain scatters (the two in-step argsorts cost more
-            # than the sweeps save; LINE wins only because its stream is
-            # pre-sorted for free). Opt-in for future sort lowerings.
+            # MEASURED on v5e it loses — 8.77M vs 13.8M pair-slots/s
+            # with plain scatters even with the pipelined r3 kernels
+            # (the argsort's [B]-scalar permutes cost ~2 ms EACH at
+            # B=162k; LINE wins only because its stream is pre-sorted
+            # for free). Opt-in for future sort lowerings; the default
+            # walk path instead shrinks row COUNT via the position-major
+            # multi-tail step below.
             sort_heads = _os3.environ.get("GRAPHVITE_SWEEP_WALK",
                                           "0") == "1"
             use_sweep = sort_heads
+        # position-major multi-tail walk step: one sample per walk
+        # position carrying all its augmentation tails — head rows
+        # gathered/scattered once per T pairs and the negative pool
+        # scored once per head (exact regrouping of the pair step).
+        # Bidirectional emission additionally mines the reversed pairs
+        # of each walk (stationary-start walks on an undirected graph
+        # are reversible, so reversed pairs are i.i.d. extra samples),
+        # halving walk-generation cost per pair.
+        multitail = (negative_sharing
+                     and augmentation_step >= 2
+                     and not sort_heads
+                     and self.sampler_backend == "device"
+                     and _os3.environ.get("GRAPHVITE_MULTITAIL",
+                                          "1") != "0")
+        walk_bidir = (multitail and bool(self.graph.as_undirected)
+                      and _os3.environ.get("GRAPHVITE_WALK_BIDIR",
+                                           "1") != "0")
+        num_tail = (augmentation_step * (2 if walk_bidir else 1)
+                    if multitail else 0)
         self._sweep_scatter = use_sweep
         # streaming sweep GATHER for the sorted head side (measured on v5e:
         # XLA's per-row gather pays ~11 ns/row; the tile stream + one-hot
@@ -849,6 +879,7 @@ class GraphSolver(SolverBase):
                          and self.sampler_backend == "device"
                          and num_vertex * self.dim > DENSE_UPDATE_ELEMS)
         self._sweep_context = use_sweep_ctx
+        self._multitail_T = num_tail
         if negative_sharing:
             # group count scales with the MICRO-batch (the unit the pool
             # step sees) so Bg = batch / G stays ~2k: a pool row's
@@ -858,29 +889,42 @@ class GraphSolver(SolverBase):
             pool_batch = (self._batch_plan()[1]
                           if self.sampler_backend == "device"
                           else self.batch_size)
-            pool_groups = _steps.graph_pool_groups(pool_batch)
             # M=128 default: -10% pool row traffic measured end to end
             # (19.35M vs 17.51M samples/s, tune6) at unchanged clone
             # quality (AUC 0.8739 vs 0.8743, RESULTS.md round-3 ablation);
             # per-group diversity stays >= the 64-candidate bar from the
             # KG pool study
             pool_size = int(_os3.environ.get("GRAPHVITE_POOL_SIZE", 128))
-            step_fn = _steps.make_graph_pool_step(
-                self.optimizer, self.num_negative, float(negative_weight),
-                pool_size=pool_size,
-                pool_groups=pool_groups, trust=trust,
-                sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
-                sweep_gather=use_sweep_gather,
-                sweep_gather_tile=gather_tile,
-                sort_heads=sort_heads,
-                sweep_tile=int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
-                                                1024)),
-                # c256 measured fastest END TO END on v5e with the
-                # pipelined kernels (round-3 tune5: 17.15M vs c128's
-                # 16.64M samples/s at 120-epoch length; the round-2
-                # isolation microbench favored c128 before pipelining)
-                sweep_chunk=int(_os3.environ.get("GRAPHVITE_SWEEP_CHUNK",
-                                                 256)))
+            if multitail:
+                # groups bound coherent PAIR mass per pool row, so the
+                # per-group position target shrinks by the tail count
+                b_pos = pool_batch // num_tail
+                pool_groups = _steps.graph_pool_groups(
+                    b_pos, target_group=max(2048 // num_tail, 256))
+                step_fn = _steps.make_graph_pool_multitail_step(
+                    self.optimizer, self.num_negative,
+                    float(negative_weight), num_tail,
+                    pool_size=pool_size, pool_groups=pool_groups,
+                    trust=trust)
+            else:
+                pool_groups = _steps.graph_pool_groups(pool_batch)
+                step_fn = _steps.make_graph_pool_step(
+                    self.optimizer, self.num_negative,
+                    float(negative_weight),
+                    pool_size=pool_size,
+                    pool_groups=pool_groups, trust=trust,
+                    sweep_vertex=use_sweep, sweep_context=use_sweep_ctx,
+                    sweep_gather=use_sweep_gather,
+                    sweep_gather_tile=gather_tile,
+                    sort_heads=sort_heads,
+                    sweep_tile=int(_os3.environ.get(
+                        "GRAPHVITE_SWEEP_TILE", 1024)),
+                    # c256 measured fastest END TO END on v5e with the
+                    # pipelined kernels (round-3 tune5: 17.15M vs c128's
+                    # 16.64M samples/s at 120-epoch length; the round-2
+                    # isolation microbench favored c128 before pipelining)
+                    sweep_chunk=int(_os3.environ.get(
+                        "GRAPHVITE_SWEEP_CHUNK", 256)))
         else:
             step_fn = _steps.make_graph_train_step(
                 GRAPH_MODELS[model], self.optimizer, self.num_negative,
@@ -934,16 +978,18 @@ class GraphSolver(SolverBase):
             else:
                 sampler = self._get_sampler(
                     ("walk", augmentation_step, random_walk_length,
-                     model == "node2vec", p, q, eff_batch),
+                     model == "node2vec", p, q, eff_batch,
+                     multitail, walk_bidir),
                     lambda: DeviceWalkSampler.build(
                         self.graph, augmentation_step, random_walk_length,
                         eff_batch, biased=(model == "node2vec"),
-                        p=p, q=q))
+                        p=p, q=q, position_major=multitail,
+                        bidir=walk_bidir))
             # EVERY knob that shapes the compiled step must key the runner
             # cache, or an env change between train() calls silently
             # reuses the stale executable
             step_shape = (use_sweep, use_sweep_ctx, use_sweep_gather,
-                          gather_tile, sort_heads,
+                          gather_tile, sort_heads, multitail, num_tail,
                           pool_size if negative_sharing else 0,
                           int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
                                                1024)),

@@ -389,3 +389,48 @@ def test_kg_fast_rotate_body_matches_generic(monkeypatch):
                             jax.tree_util.tree_leaves(st1)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=2e-4, atol=2e-5)
+
+
+def test_graph_multitail_step_matches_pair_step():
+    """make_graph_pool_multitail_step is an exact regrouping of
+    make_graph_pool_step over the expanded (head, tail) pairs: same key
+    (same pool draws, same G), position p's T pairs land contiguously in
+    the pair batch, so tables/moments/loss must match to fp tolerance."""
+    rng = np.random.default_rng(5)
+    V, D, Bp, T, K = 60, 8, 8, 2, 3
+    M, G = 4, 2
+    nw = 5.0
+    heads = jnp.asarray(rng.integers(0, V, Bp), jnp.int32)
+    tails = jnp.asarray(rng.integers(0, V, (Bp, T)), jnp.int32)
+    tmask = jnp.asarray(rng.integers(0, 2, (Bp, T)), jnp.float32)
+    tmask = tmask.at[0].set(1.0)  # ensure some fully-active heads
+    vertex = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    neg_state = _uniform_alias_state(V)
+    key = jax.random.PRNGKey(3)
+
+    for opt in (Optimizer(type="SGD", lr=0.05, weight_decay=1e-3),
+                Optimizer(type="Adam", lr=1e-3, weight_decay=1e-3)):
+        for trust in (None, 0.25):
+            moms = tuple(
+                (jnp.zeros((V, D), jnp.float32),) * opt.num_moment
+                for _ in range(2))
+            state = {"tables": (vertex, context),
+                     "moments": (moms[0], moms[1])}
+            multi = _steps.make_graph_pool_multitail_step(
+                opt, K, nw, T, pool_size=M, pool_groups=G, trust=trust)
+            pair = _steps.make_graph_pool_step(
+                opt, K, nw, pool_size=M, pool_groups=G, trust=trust)
+            st_m, loss_m = multi(state, heads, tails, key,
+                                 jnp.float32(opt.lr), *neg_state,
+                                 mask=tmask)
+            st_p, loss_p = pair(state, jnp.repeat(heads, T),
+                                tails.reshape(-1), key,
+                                jnp.float32(opt.lr), *neg_state,
+                                mask=tmask.reshape(-1))
+            np.testing.assert_allclose(float(loss_m), float(loss_p),
+                                       rtol=2e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(st_m),
+                            jax.tree_util.tree_leaves(st_p)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=3e-4, atol=3e-6)
