@@ -343,6 +343,41 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
     return chain_fn
 
 
+def walk_offsets(aug, bidir=False):
+    """Augmentation tail offsets shared by the position-major and banded
+    emitters AND their consuming steps (order is part of the contract:
+    pmask[..., t] refers to offsets[t])."""
+    offs = list(range(1, aug + 1))
+    if bidir:
+        offs += [-k for k in range(1, aug + 1)]
+    return offs
+
+
+def emit_walk_banded(chain, valid, aug, bidir=False):
+    """Banded emission: whole walks, one pair-validity mask per (position,
+    offset). Returns (chainT [W, L+1] i32, pmask [W, L+1, T] f32) covering
+    the exact pair set of emit_walk_positions (same offset order):
+    pmask[w, i, t] flags pair (chain[i], chain[i + offsets[t]]).
+
+    The banded pool step consumes walks whole: each chain vertex is
+    gathered and updated ONCE for all pairs it participates in — as head
+    of T pairs AND tail of up to T pairs — via static shifts along the
+    walk axis, so per-pair row traffic drops to ~2/(T·L) rows instead of
+    the pair step's 2 or the position-major step's 1 + 1/T."""
+    L1, W = chain.shape
+    ms = []
+    for k in walk_offsets(aug, bidir):
+        if k > 0:
+            m = jnp.concatenate([valid[k:] & valid[: L1 - k],
+                                 jnp.zeros((k, W), jnp.bool_)])
+        else:
+            m = jnp.concatenate([jnp.zeros((-k, W), jnp.bool_),
+                                 valid[:k] & valid[-k:]])
+        ms.append(m)
+    pmask = jnp.stack(ms, axis=-1).transpose(1, 0, 2)        # [W, L1, T]
+    return chain.T, pmask.astype(jnp.float32)
+
+
 def emit_walk_positions(chain, valid, aug, bidir=False):
     """Position-major emission: one SAMPLE per walk position, carrying all
     its augmentation tails. Returns (heads [P], tails [P, T], tmask [P, T])
@@ -439,11 +474,14 @@ class DeviceWalkSampler:
     position_major: bool = False
     bidir: bool = False
     num_tail: int = 0
+    # banded mode (emit_walk_banded): whole walks as samples; each chain
+    # vertex gathered/updated once for all its head- and tail-role pairs
+    banded: bool = False
 
     @classmethod
     def build(cls, graph, augmentation_step, walk_length, batch_size,
               biased=False, p=1.0, q=1.0, position_major=False,
-              bidir=False):
+              bidir=False, banded=False):
         t = AliasTable(graph.edge_weights)
         w = np.asarray(graph.csr_weights, np.float64)
         uniform = bool(w.size == 0 or np.all(w == w[0]))
@@ -456,7 +494,17 @@ class DeviceWalkSampler:
             nbr_alias = packed.alias.astype(np.int32)
         L, aug = int(walk_length), int(augmentation_step)
         kw = {}
-        if position_major:
+        if banded:
+            T = aug * (2 if bidir else 1)
+            slot_unit = T * (L + 1)
+            if batch_size % slot_unit:
+                raise ValueError(
+                    "batch_size %d must be a multiple of the per-walk slot "
+                    "count %d (= tails %d x positions %d)"
+                    % (batch_size, slot_unit, T, L + 1))
+            num_walk = max(batch_size // slot_unit, 1)
+            kw.update(banded=True, bidir=bool(bidir), num_tail=T)
+        elif position_major:
             T = aug * (2 if bidir else 1)
             if batch_size % T:
                 raise ValueError("batch_size %d must be a multiple of the "
@@ -508,6 +556,17 @@ class DeviceWalkSampler:
                                       self.num_walk, biased=self.biased,
                                       p=self.p, q=self.q,
                                       bs_iters=self.bs_iters)
+        if self.banded:
+            bidir = self.bidir
+
+            def sample(key, *arrays):
+                chain, valid = chain_fn(key, *arrays)
+                ct, pm = emit_walk_banded(chain, valid, aug, bidir=bidir)
+                # (chain, chain, pair-mask): the banded step reads ids once
+                # for both roles; mean(pm) IS the valid-pair fraction
+                return (ct, ct, pm)
+
+            return sample
         if self.position_major:
             T = self.num_tail
             bp = batch_size // T

@@ -513,6 +513,161 @@ def make_graph_pool_multitail_step(opt: Optimizer, num_negative: int,
     return step
 
 
+def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
+                                negative_weight: float, aug: int,
+                                bidir: bool, pool_size: int = 128,
+                                pool_groups: int = 8, trust: float = 0.25):
+    """Shared-negative-pool graph step over WHOLE WALKS: input is the walk
+    chain [B, L+1] plus a pair-validity mask [B, L+1, T]
+    (emit_walk_banded). Exact regrouping of make_graph_pool_multitail_step
+    — same gradients, moment counts/squares, loss (exactness-tested) —
+    but both SIDES of every pair are deduplicated at walk granularity:
+    each chain vertex is gathered once as head and once as context, the
+    positive band (v_i . c_{i+k} for the T static offsets) is computed by
+    shifted elementwise products, and each vertex receives ONE accumulated
+    update for all pairs it participates in. Row traffic per pair drops
+    from the pair step's ~2 rows to ~2/T; the negative pool is scored once
+    per position (the reference's warp kernel holds the vertex row in
+    registers across subsamples for the same reason, gpu/graph.cuh:59-93;
+    this extends the idea to the context side, which a warp-per-sample
+    layout cannot).
+
+    step(state, chain [B, L1], _ (chain again, ignored), key, lr,
+         *neg_state, mask [B, L1, T]) -> (state, loss); B % pool_groups
+    == 0. Offset order must match ops.device_sampler.walk_offsets."""
+    from graphvite_tpu.ops.device_sampler import walk_offsets
+
+    k = num_negative
+    M = int(pool_size)
+    G = int(pool_groups)
+    offs = walk_offsets(int(aug), bool(bidir))
+    T = len(offs)
+    neg_w = float(negative_weight) * k / M
+
+    def shift_fwd(x, kk):
+        """result[:, i] = x[:, i + kk] along the walk axis, zero-padded."""
+        if kk == 0:
+            return x
+        pad = jnp.zeros(x.shape[:1] + (abs(kk),) + x.shape[2:], x.dtype)
+        if kk > 0:
+            return jnp.concatenate([x[:, kk:], pad], axis=1)
+        return jnp.concatenate([pad, x[:, :kk]], axis=1)
+
+    def step(state, chain, _tails, key, lr, *neg_state, mask=None):
+        vertex, context = state["tables"]
+        v_moms, c_moms = state["moments"]
+        B, L1 = chain.shape
+        assert B % G == 0, "walk batch must divide pool_groups"
+        bg = B // G
+        npos = B * L1
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (G, M))
+        u2 = jax.random.uniform(k2, (G, M))
+        pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
+
+        if mask is None:
+            mask = jnp.ones((B, L1, T), jnp.float32)
+        v = vertex[chain].astype(jnp.float32)                # [B, L1, D]
+        c = context[chain].astype(jnp.float32)
+        P = context[pool_ids].astype(jnp.float32)            # [G, M, D]
+
+        # positive band: per offset, shifted elementwise product
+        gpos_list, csh_list = [], []
+        pos_loss = jnp.float32(0.0)
+        for t_i, kk in enumerate(offs):
+            csh = shift_fwd(c, kk)
+            logit = jnp.sum(v * csh, axis=-1)                # [B, L1]
+            m = mask[..., t_i]
+            gpos_list.append((jax.nn.sigmoid(logit) - 1.0) * m)
+            csh_list.append(csh)
+            pos_loss = pos_loss + jnp.sum(m * jax.nn.softplus(-logit))
+        cnt = jnp.sum(mask, axis=-1)                         # [B, L1]
+
+        v4 = v.reshape(G, bg * L1, -1)
+        neg_logits = jnp.einsum("gpd,gmd->gpm", v4, P,
+                                preferred_element_type=jnp.float32)
+        gneg_u = jax.nn.sigmoid(neg_logits) * neg_w          # [G, Pg, M]
+        cnt_g = cnt.reshape(G, bg * L1)
+        gneg = gneg_u * cnt_g[..., None]
+        n_active = jnp.sum(mask)
+        neg_loss = jnp.sum(cnt_g * (neg_w * jnp.sum(
+            jax.nn.softplus(neg_logits), axis=-1)))
+        mean_loss = ((pos_loss + neg_loss) / jnp.maximum(n_active, 1.0)
+                     / (1.0 + k * negative_weight))
+
+        wd = opt.weight_decay
+        dv = sum(g[..., None] * csh
+                 for g, csh in zip(gpos_list, csh_list))
+        dv = (dv + jnp.einsum("gpm,gmd->gpd", gneg, P,
+                              preferred_element_type=jnp.float32
+                              ).reshape(B, L1, -1)
+              + (wd * (1.0 + M * neg_w)) * cnt[..., None] * v)
+        # context side: head i's positive gradient g*v lands at tail i+kk
+        gv_list = [g[..., None] * v for g in gpos_list]
+        dc_main = sum(shift_fwd(gv, -kk)
+                      for gv, kk in zip(gv_list, offs))
+        cntc = sum(shift_fwd(mask[..., t_i], -kk)
+                   for t_i, kk in enumerate(offs))           # [B, L1]
+        dc = dc_main + wd * cntc[..., None] * c
+        dP = (jnp.einsum("gpm,gpd->gmd", gneg, v4,
+                         preferred_element_type=jnp.float32)
+              + wd * (neg_w * bg * L1 * T) * P)
+        if trust is not None:
+            dnorm = jnp.linalg.norm(dP, axis=-1, keepdims=True)
+            limit = (trust * (jnp.linalg.norm(P, axis=-1, keepdims=True)
+                              + 1e-2)
+                     / jnp.maximum(lr, EPSILON))
+            dP = dP * jnp.minimum(1.0, limit / jnp.maximum(dnorm, EPSILON))
+
+        v_counts = v_sqs = c_counts = c_sqs = None
+        if opt.num_moment > 0:
+            sq_scale = M / max(k, 1)
+            v_counts = ((k + 1.0) * cnt).reshape(npos)
+            v_sqs = (sum((g * g)[..., None] * (csh * csh)
+                         for g, csh in zip(gpos_list, csh_list))
+                     + sq_scale * cnt[..., None] * jnp.einsum(
+                         "gpm,gmd->gpd", gneg_u ** 2, P ** 2,
+                         preferred_element_type=jnp.float32
+                     ).reshape(B, L1, -1)).reshape(npos, -1)
+            p_counts = jnp.broadcast_to(
+                jnp.sum(cnt_g, axis=1)[:, None] * (k / M), (G, M))
+            c_counts = jnp.concatenate([cntc.reshape(npos),
+                                        p_counts.reshape(-1)])
+            # per-touch tail sq (g v + wd c)^2 summed over valid touches:
+            # sum(g^2 v^2) + 2 wd c . sum(g v) + cntc (wd c)^2
+            s2 = sum(shift_fwd(gv * gv, -kk)
+                     for gv, kk in zip(gv_list, offs))
+            c_sqs_main = (s2 + 2.0 * wd * c * dc_main
+                          + (wd * c) ** 2 * cntc[..., None])
+            p_sqs = sq_scale * jnp.einsum(
+                "gpm,gpd->gmd", gneg_u ** 2 * cnt_g[..., None], v4 ** 2,
+                preferred_element_type=jnp.float32)
+            c_sqs = jnp.concatenate(
+                [c_sqs_main.reshape(npos, -1), p_sqs.reshape(G * M, -1)])
+
+        flat_ids = chain.reshape(npos)
+        head_mask = (cnt > 0).reshape(npos).astype(jnp.float32)
+        new_vertex, new_v_moms = apply_row_updates(
+            vertex, v_moms, _mask_ids(flat_ids, head_mask,
+                                      vertex.shape[0]),
+            dv.reshape(npos, -1), opt, lr,
+            entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
+        ctx_mask = (cntc > 0).reshape(npos).astype(jnp.float32)
+        ctx_ids = jnp.concatenate(
+            [_mask_ids(flat_ids, ctx_mask, context.shape[0]),
+             pool_ids.reshape(-1)])
+        ctx_grads = jnp.concatenate(
+            [dc.reshape(npos, -1), dP.reshape(G * M, -1)])
+        new_context, new_c_moms = apply_row_updates(
+            context, c_moms, ctx_ids, ctx_grads, opt, lr,
+            entry_counts=c_counts, entry_sqs=c_sqs, trust=trust)
+        new_state = {"tables": (new_vertex, new_context),
+                     "moments": (new_v_moms, new_c_moms)}
+        return new_state, mean_loss
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # knowledge graph (tied entity table + global relation table;
 # ref gpu/knowledge_graph.cuh)
@@ -1292,8 +1447,9 @@ def make_micro_step(step_fn, num_micro: int, has_relation: bool = False):
 
     def step(state, heads, tails, key, lr, *neg_state, mask=None):
         bm = heads.shape[0] // R
-        # tails/mask may carry a trailing tail dim (multi-tail steps)
-        xs = [heads.reshape(R, bm),
+        # heads/tails/mask may carry trailing dims (multi-tail / banded
+        # walk steps: [B, T] tails, [B, L1] chains, [B, L1, T] masks)
+        xs = [heads.reshape((R, bm) + heads.shape[1:]),
               tails.reshape((R, bm) + tails.shape[1:]),
               jax.random.split(key, R)]
         if mask is not None:

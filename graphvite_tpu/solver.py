@@ -405,6 +405,12 @@ class SolverBase:
         if T > 1:
             # position-major walk batches must split into T tails per head
             unit = unit * T // math.gcd(unit, T)
+        s = int(getattr(self, "_walk_slot_unit", 0) or 0)
+        if s > 1:
+            # banded batches are whole walks of T * (L+1) slots; pool
+            # groups divide the WALK count, so the 256-group slot
+            # rounding above does not apply
+            unit = s
         eff = max(eff // unit * unit, unit)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
@@ -827,25 +833,35 @@ class GraphSolver(SolverBase):
             sort_heads = _os3.environ.get("GRAPHVITE_SWEEP_WALK",
                                           "0") == "1"
             use_sweep = sort_heads
-        # position-major multi-tail walk step: one sample per walk
-        # position carrying all its augmentation tails — head rows
-        # gathered/scattered once per T pairs and the negative pool
-        # scored once per head (exact regrouping of the pair step).
+        # walk-step layout (aug >= 2 batches): exact regroupings of the
+        # same pair set at decreasing row traffic —
+        #   "pair":      one slot per (head, tail) pair (2 rows/pair)
+        #   "multitail": one sample per walk position carrying its T
+        #                augmentation tails — head rows and negative
+        #                scoring shrink by T (1 + 1/T rows/pair)
+        #   "banded":    whole walks; BOTH roles of every chain vertex
+        #                collapse to one gather + one update, positives
+        #                computed as a static shifted band (~2/T rows
+        #                per pair) — the default
         # Bidirectional emission additionally mines the reversed pairs
         # of each walk (stationary-start walks on an undirected graph
         # are reversible, so reversed pairs are i.i.d. extra samples),
         # halving walk-generation cost per pair.
-        multitail = (negative_sharing
-                     and augmentation_step >= 2
-                     and not sort_heads
-                     and self.sampler_backend == "device"
-                     and _os3.environ.get("GRAPHVITE_MULTITAIL",
-                                          "1") != "0")
-        walk_bidir = (multitail and bool(self.graph.as_undirected)
+        walk_step_mode = _os3.environ.get("GRAPHVITE_WALK_STEP", "banded")
+        if _os3.environ.get("GRAPHVITE_MULTITAIL", "1") == "0":
+            walk_step_mode = "pair"   # legacy kill-switch
+        walk_grouped = (negative_sharing
+                        and augmentation_step >= 2
+                        and not sort_heads
+                        and self.sampler_backend == "device"
+                        and walk_step_mode in ("banded", "multitail"))
+        walk_bidir = (walk_grouped and bool(self.graph.as_undirected)
                       and _os3.environ.get("GRAPHVITE_WALK_BIDIR",
                                            "1") != "0")
+        banded = walk_grouped and walk_step_mode == "banded"
+        multitail = walk_grouped and walk_step_mode == "multitail"
         num_tail = (augmentation_step * (2 if walk_bidir else 1)
-                    if multitail else 0)
+                    if walk_grouped else 0)
         self._sweep_scatter = use_sweep
         # streaming sweep GATHER for the sorted head side (measured on v5e:
         # XLA's per-row gather pays ~11 ns/row; the tile stream + one-hot
@@ -879,7 +895,10 @@ class GraphSolver(SolverBase):
                          and self.sampler_backend == "device"
                          and num_vertex * self.dim > DENSE_UPDATE_ELEMS)
         self._sweep_context = use_sweep_ctx
-        self._multitail_T = num_tail
+        self._multitail_T = num_tail if multitail else 0
+        # banded batches come in whole-walk units of T * (L+1) slots
+        self._walk_slot_unit = (num_tail * (random_walk_length + 1)
+                                if banded else 0)
         if negative_sharing:
             # group count scales with the MICRO-batch (the unit the pool
             # step sees) so Bg = batch / G stays ~2k: a pool row's
@@ -895,7 +914,19 @@ class GraphSolver(SolverBase):
             # per-group diversity stays >= the 64-candidate bar from the
             # KG pool study
             pool_size = int(_os3.environ.get("GRAPHVITE_POOL_SIZE", 128))
-            if multitail:
+            if banded:
+                # groups partition WALKS; bound coherent pair mass per
+                # pool row at the same ~2048-slot target as the pair step
+                slot_unit = num_tail * (random_walk_length + 1)
+                b_walks = max(pool_batch // slot_unit, 1)
+                pool_groups = _steps.graph_pool_groups(
+                    b_walks, target_group=max(2048 // slot_unit, 1))
+                step_fn = _steps.make_graph_banded_walk_step(
+                    self.optimizer, self.num_negative,
+                    float(negative_weight), augmentation_step, walk_bidir,
+                    pool_size=pool_size, pool_groups=pool_groups,
+                    trust=trust)
+            elif multitail:
                 # groups bound coherent PAIR mass per pool row, so the
                 # per-group position target shrinks by the tail count
                 b_pos = pool_batch // num_tail
@@ -979,17 +1010,18 @@ class GraphSolver(SolverBase):
                 sampler = self._get_sampler(
                     ("walk", augmentation_step, random_walk_length,
                      model == "node2vec", p, q, eff_batch,
-                     multitail, walk_bidir),
+                     multitail, banded, walk_bidir),
                     lambda: DeviceWalkSampler.build(
                         self.graph, augmentation_step, random_walk_length,
                         eff_batch, biased=(model == "node2vec"),
                         p=p, q=q, position_major=multitail,
-                        bidir=walk_bidir))
+                        banded=banded, bidir=walk_bidir))
             # EVERY knob that shapes the compiled step must key the runner
             # cache, or an env change between train() calls silently
             # reuses the stale executable
             step_shape = (use_sweep, use_sweep_ctx, use_sweep_gather,
-                          gather_tile, sort_heads, multitail, num_tail,
+                          gather_tile, sort_heads, multitail, banded,
+                          num_tail,
                           pool_size if negative_sharing else 0,
                           int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
                                                1024)),

@@ -434,3 +434,63 @@ def test_graph_multitail_step_matches_pair_step():
                             jax.tree_util.tree_leaves(st_p)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=3e-4, atol=3e-6)
+
+
+def test_graph_banded_step_matches_multitail_step():
+    """make_graph_banded_walk_step is an exact regrouping of the
+    position-major multitail step over the same walk chains: feeding the
+    multitail step the emit_walk_positions view of the same chain (same
+    key, same G, walk-major position order) must produce identical
+    tables/moments/loss — both sides of every pair collapse to walk-
+    granular entries, which dedup_rows merges additively."""
+    from graphvite_tpu.ops.device_sampler import (emit_walk_banded,
+                                                  emit_walk_positions)
+    rng = np.random.default_rng(11)
+    V, D, W, L, aug = 70, 8, 6, 9, 2
+    M, G = 4, 2
+    nw = 5.0
+    L1 = L + 1
+    chain = jnp.asarray(rng.integers(0, V, (L1, W)), jnp.int32)
+    # dead-walk tails: some walks die early (cumulative validity)
+    alive = rng.random((L1, W)) > 0.15
+    alive[:2] = True
+    valid = jnp.asarray(np.cumprod(alive, axis=0) > 0)
+    key = jax.random.PRNGKey(5)
+
+    for bidir in (False, True):
+        T = aug * (2 if bidir else 1)
+        ct, pm = emit_walk_banded(chain, valid, aug, bidir=bidir)
+        h, t, m = emit_walk_positions(chain, valid, aug, bidir=bidir)
+        np.testing.assert_array_equal(np.asarray(ct).reshape(-1),
+                                      np.asarray(h))
+        np.testing.assert_array_equal(np.asarray(pm).reshape(-1, T),
+                                      np.asarray(m))
+        for opt in (Optimizer(type="SGD", lr=0.05, weight_decay=1e-3),
+                    Optimizer(type="Adam", lr=1e-3, weight_decay=1e-3)):
+            for trust in (None, 0.25):
+                vertex = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+                context = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+                moms = tuple(
+                    (jnp.zeros((V, D), jnp.float32),) * opt.num_moment
+                    for _ in range(2))
+                state = {"tables": (vertex, context),
+                         "moments": (moms[0], moms[1])}
+                neg_state = _uniform_alias_state(V)
+                banded = _steps.make_graph_banded_walk_step(
+                    opt, 3, nw, aug, bidir, pool_size=M, pool_groups=G,
+                    trust=trust)
+                multi = _steps.make_graph_pool_multitail_step(
+                    opt, 3, nw, T, pool_size=M, pool_groups=G, trust=trust)
+                st_b, loss_b = banded(state, ct, ct, key,
+                                      jnp.float32(opt.lr), *neg_state,
+                                      mask=pm)
+                st_m, loss_m = multi(state, h, t, key,
+                                     jnp.float32(opt.lr), *neg_state,
+                                     mask=m.astype(jnp.float32))
+                np.testing.assert_allclose(float(loss_b), float(loss_m),
+                                           rtol=2e-5)
+                for a, b in zip(jax.tree_util.tree_leaves(st_b),
+                                jax.tree_util.tree_leaves(st_m)):
+                    np.testing.assert_allclose(np.asarray(a),
+                                               np.asarray(b),
+                                               rtol=3e-4, atol=3e-6)
