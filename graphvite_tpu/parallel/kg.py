@@ -405,29 +405,45 @@ class ShardedKGTrainer:
         self.round += 1
 
     # -- host-side state construction -----------------------------------
-    def init_state(self, entity_np, relation_np):
+    def init_state(self, entity_np, relation_np, moments_np=None):
+        """`moments_np` ((entity_moms...), (relation_moms...)) canonical
+        [V, D] / [R, D] arrays seed the arena / per-device relation moment
+        slabs — resume=True continues from the checkpointed moments
+        (entity exactly; relations from the merged mean each device
+        restarts with)."""
         W, cap = self.num_worker, self.cap
         part = self.partition
         shard = NamedSharding(self.mesh, P(self.axis))
         rep = NamedSharding(self.mesh, P())
         self.reset_schedule()
-        arena_np = np.zeros((W, 2, cap, entity_np.shape[1]),
-                            entity_np.dtype)
-        for d, (a, b) in enumerate(self.assignments()):
-            for s, p in enumerate((a, b)):
-                m = part.members[p][part.valid[p]]
-                arena_np[d, s, : m.size] = entity_np[m]
-        arena = jax.device_put(arena_np, shard)
+
+        def to_arena(x, dtype):
+            a = np.zeros((W, 2, cap, x.shape[1]), dtype)
+            for d, (pa, pb) in enumerate(self.assignments()):
+                for s, p in enumerate((pa, pb)):
+                    m = part.members[p][part.valid[p]]
+                    a[d, s, : m.size] = x[m]
+            return a
+
+        arena = jax.device_put(to_arena(entity_np, entity_np.dtype), shard)
+        e_moms, r_moms = (moments_np if moments_np is not None
+                          else ((None,) * self.opt.num_moment,) * 2)
         # moments are ALWAYS f32 regardless of table dtype (bf16 EMA loses
         # the update signal at GraphVite's betas; solver.py _allocate)
         arena_moms = tuple(
-            jax.device_put(np.zeros(arena_np.shape, np.float32), shard)
-            for _ in range(self.opt.num_moment))
+            jax.device_put(
+                np.zeros((W, 2, cap, entity_np.shape[1]), np.float32)
+                if m is None else to_arena(np.asarray(m, np.float32),
+                                           np.float32), shard)
+            for m in e_moms)
         rel = jax.device_put(relation_np, rep)
         rel_moms = tuple(
-            jax.device_put(np.zeros((W,) + relation_np.shape, np.float32),
-                           shard)
-            for _ in range(self.opt.num_moment))
+            jax.device_put(
+                np.zeros((W,) + relation_np.shape, np.float32)
+                if m is None else np.broadcast_to(
+                    np.asarray(m, np.float32),
+                    (W,) + relation_np.shape).copy(), shard)
+            for m in r_moms)
         return {"arena": arena, "arena_moms": arena_moms,
                 "rel": rel, "rel_moms": rel_moms}
 

@@ -326,17 +326,26 @@ class ReplicatedEdgeTrainer:
                 check_vma=False),
             donate_argnums=(0, 1))
 
-    def init_state(self, tables_np):
+    def init_state(self, tables_np, moments_np=None):
         """tables_np: tuple of [*, D] host arrays (replicated); per-device
-        f32 moment slabs (leading device axis)."""
+        f32 moment slabs (leading device axis). `moments_np` (same
+        structure as the solver's canonical state, one [*, D] array per
+        moment) seeds every device's slab — resume=True after a mesh run
+        continues from the checkpointed moments instead of zeros."""
         rep = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P(self.axis))
         tables = tuple(jax.device_put(t, rep) for t in tables_np)
+        if moments_np is None:
+            moments_np = tuple((None,) * self.opt.num_moment
+                               for _ in tables_np)
         moments = tuple(
             tuple(jax.device_put(
-                np.zeros((self.n_dev,) + t.shape, np.float32), shard)
-                for _ in range(self.opt.num_moment))
-            for t in tables_np)
+                np.zeros((self.n_dev,) + t.shape, np.float32) if m is None
+                else np.broadcast_to(
+                    np.asarray(m, np.float32),
+                    (self.n_dev,) + t.shape).copy(), shard)
+                for m in side)
+            for t, side in zip(tables_np, moments_np))
         return tables, moments
 
     def init_edges(self, graph):
@@ -583,23 +592,30 @@ class ShardedGraphTrainer:
             raise ValueError(sampler_mode)
 
     # -- host-side state construction -------------------------------------
-    def init_state(self, vertex_np: np.ndarray, context_np: np.ndarray):
-        """Shard [V, D] host tables into [P, cap, D] device arrays."""
+    def init_state(self, vertex_np: np.ndarray, context_np: np.ndarray,
+                   moments_np=None):
+        """Shard [V, D] host tables into [P, cap, D] device arrays.
+        `moments_np` ((v_moms...), (c_moms...)) canonical [V, D] arrays
+        seed the partition-sharded moment slabs — resume=True continues
+        from the exact moments the previous mesh run gathered back."""
         shard = NamedSharding(self.mesh, P(self.axis))
         part = self.partition
         self.rotation = 0
         tables = tuple(
             jax.device_put(part.shard_rows(t), shard)
             for t in (vertex_np, context_np))
+        if moments_np is None:
+            moments_np = ((None,) * self.opt.num_moment,) * 2
         # moments are ALWAYS f32 regardless of the table dtype: bf16 EMA
         # accumulators lose the update signal at GraphVite's beta values
         # (1 - beta ~ 1e-3 < bf16 epsilon 7.8e-3; solver.py _allocate)
         moments = tuple(
             tuple(jax.device_put(
                 np.zeros((part.num_partition, part.capacity, self.dim),
-                         np.float32), shard)
-                  for _ in range(self.opt.num_moment))
-            for _ in (vertex_np, context_np))
+                         np.float32) if m is None
+                else part.shard_rows(np.asarray(m, np.float32)), shard)
+                  for m in side)
+            for side in moments_np)
         return {"tables": tables, "moments": moments}
 
     def init_negative_state(self, vertex_weights: np.ndarray,

@@ -691,8 +691,11 @@ class GraphSolver(SolverBase):
         trainer = self._mesh_trainer
         trainer.rotation = 0
 
-        state = trainer.init_state(np.asarray(self.state["tables"][0]),
-                                   np.asarray(self.state["tables"][1]))
+        state = trainer.init_state(
+            np.asarray(self.state["tables"][0]),
+            np.asarray(self.state["tables"][1]),
+            moments_np=tuple(tuple(np.asarray(m) for m in side)
+                             for side in self.state["moments"]))
         neg_state = trainer.init_negative_state(
             np.asarray(self.graph.vertex_weights), negative_sample_exponent)
         sample_state = self._mesh_sample_state
@@ -1327,8 +1330,11 @@ class KnowledgeGraphSolver(SolverBase):
             self._kgmesh_key = key
         trainer = self._kgmesh_trainer
         trainer.reset_schedule()
-        state = trainer.init_state(np.asarray(self.state["tables"][0]),
-                                   np.asarray(self.state["tables"][1]))
+        state = trainer.init_state(
+            np.asarray(self.state["tables"][0]),
+            np.asarray(self.state["tables"][1]),
+            moments_np=tuple(tuple(np.asarray(m) for m in side)
+                             for side in self.state["moments"]))
         logger.info("training %s on %d devices (2x%d entity partitions): "
                     "%d batches of %d (episodes of %d)", model_name, W,
                     2 * W, self.num_batch, batch_size, ep_batches)
@@ -1553,7 +1559,9 @@ class VisualizationSolver(SolverBase):
             self._vismesh_key = key
         trainer = self._vismesh_trainer
         tables, moments = trainer.init_state(
-            tuple(np.asarray(t) for t in self.state["tables"]))
+            tuple(np.asarray(t) for t in self.state["tables"]),
+            moments_np=tuple(tuple(np.asarray(m) for m in side)
+                             for side in self.state["moments"]))
         neg_dev = tuple(jax.device_put(
             np.asarray(a), jax.sharding.NamedSharding(
                 trainer.mesh, jax.sharding.PartitionSpec()))
