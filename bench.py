@@ -32,12 +32,24 @@ if os.environ.get("GRAPHVITE_FORCE_CPU", "0") != "0":
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_PER_GPU = 3.5e7  # edge-samples/s per V100 (BASELINE.md)
+# ROUND-4 BASELINE CORRECTION: rounds 1-3 derived the graph-side V100
+# share assuming 2000 epochs, but doc/source/benchmark.rst links the
+# SHIPPED configs as the hyperparameters behind its timings, and
+# line_youtube.yaml / deepwalk_youtube.yaml say num_epoch 4000 at
+# augmentation_step 5 (samples are walk-augmented pairs; num_edge counts
+# INPUT edges, graph.cuh:152). The honest shares are 2x the old ones:
+#   LINE:     4000 x 4,945,382 / 70.2 s / 4 GPUs = 7.05e7 pairs/s
+#   DeepWalk: 4000 x 4,945,382 / 71.4 s / 4 GPUs = 6.93e7 pairs/s
+#   node2vec: 4000 x 4,945,382 / 263.4 s / 4 GPUs = 1.88e7 pairs/s
+# Accordingly the graph pillars below run the ACTUAL Youtube protocol
+# shape (augmentation_step 5, walk length 40; node2vec p=4, q=2) instead
+# of the round-1..3 aug=1/aug=2 sub-protocols.
+BASELINE_PER_GPU = 7.05e7     # LINE pairs/s per V100 (corrected)
+DW_BASELINE_PER_GPU = 6.93e7  # DeepWalk pairs/s per V100 (corrected)
+N2V_BASELINE_PER_GPU = 1.88e7  # node2vec pairs/s per V100 (corrected)
 # FB15k RotatE: 483,142 train triplets x 1000 epochs / 28.1 min / 4 GPUs
+# (rotate_fb15k.yaml num_epoch 1000 — this one was derived correctly)
 KG_BASELINE_PER_GPU = 7.2e4  # triplet-samples/s per V100 (BASELINE.md:34)
-# node2vec: same pair budget as DeepWalk but 4.39 min vs 1.19 min on
-# Youtube (BASELINE.md:15) -> per-V100 share scales by 1.19/4.39
-N2V_BASELINE_PER_GPU = BASELINE_PER_GPU * 1.19 / 4.39  # ~9.49e6
 # LargeVis: the MNIST protocol (50 epochs over the k=200 KNN graph) takes
 # 13.9 s on 4xV100 (BASELINE.md:54) = 55.6 s per V100 share; our measured
 # clone run pushes the same sample budget in 52.9 s at 13.2e6 samples/s
@@ -216,32 +228,52 @@ def main():
     solver.build(g, num_negative=num_negative, batch_size=batch_size,
                  episode_size=50)
 
+    # LINE at the line_youtube.yaml protocol shape: augmentation_step 5,
+    # walk length 40 (the reference's published 1.17 min IS this shape).
+    # Samples are walk-augmented pairs, counted valid-only via sum(mask).
+    aug = int(os.environ.get("BENCH_AUG", "5"))
+    line_kw = dict(model="LINE", augmentation_step=aug,
+                   random_walk_length=40, log_frequency=10**9)
     # warmup run (compile + pipeline fill); 3 epochs -> num_batch >= the
     # episode length so the timed run reuses the same compiled episode
-    solver.train(model="LINE", num_epoch=3, augmentation_step=1,
-                 log_frequency=10**9)
+    solver.train(num_epoch=3, **line_kw)
     # timed run
     start = time.time()
-    solver.train(model="LINE", num_epoch=num_epoch, augmentation_step=1,
-                 log_frequency=10**9)
+    solver.train(num_epoch=num_epoch, **line_kw)
     elapsed = time.time() - start
     # count the batch size the solver ACTUALLY ran (it may shrink the
     # requested batch to fit step intermediates / the staleness cap)
     samples = solver.num_batch * solver.effective_batch
-    rate = samples / elapsed
+    slot_rate = samples / elapsed
+    vf = valid_fraction(solver) if aug > 1 else 1.0
+    rate = slot_rate * vf
 
     result = {
-        "metric": "line_edge_samples_per_s",
+        "metric": "line_pairs_per_s",
         "value": round(rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(rate / BASELINE_PER_GPU, 4),
+        "line_valid_fraction": round(vf, 4),
         "float_type": float_type,
     }
+    if os.environ.get("BENCH_LINE_AUG1", "1") != "0":
+        # round-1..3 continuity metric: the aug=1 sorted-edge-stream path
+        # (sweep kernels), the hardest per-pair shape (every sample pays
+        # full row traffic)
+        kw1 = dict(model="LINE", augmentation_step=1, log_frequency=10**9)
+        solver.train(num_epoch=3, **kw1)                    # compile
+        start = time.time()
+        solver.train(num_epoch=max(num_epoch // 2, 1), **kw1)
+        e1 = time.time() - start
+        r1 = solver.num_batch * solver.effective_batch / e1
+        result["line_aug1_samples_per_s"] = round(r1, 1)
+        result["line_aug1_vs_baseline"] = round(r1 / BASELINE_PER_GPU, 4)
     if os.environ.get("BENCH_DEEPWALK", "1") != "0":
-        # DeepWalk pillar (Youtube DeepWalk 1.19 min ~= LINE's rate on the
-        # reference, so the same 3.5e7/GPU share is the denominator);
-        # walks are generated on device inside the episode
-        kw = dict(model="DeepWalk", augmentation_step=2,
+        # DeepWalk pillar at the deepwalk_youtube.yaml protocol shape
+        # (aug 5, walk length 40); walks are generated on device inside
+        # the episode
+        kw = dict(model="DeepWalk",
+                  augmentation_step=int(os.environ.get("BENCH_DW_AUG", 5)),
                   random_walk_length=40, log_frequency=10**9)
         solver.train(num_epoch=3, **kw)                     # compile
         start = time.time()
@@ -258,12 +290,12 @@ def main():
         result["deepwalk_valid_fraction"] = round(vf, 4)
         result["deepwalk_pairs_per_s"] = round(dw_rate * vf, 1)
         result["deepwalk_vs_baseline"] = round(
-            dw_rate * vf / BASELINE_PER_GPU, 4)
+            dw_rate * vf / DW_BASELINE_PER_GPU, 4)
     if os.environ.get("BENCH_NODE2VEC", "1") != "0":
-        # node2vec pillar: exact 2nd-order rejection sampling, p=q=0.25
-        # (node2vec_youtube.yaml); denominator scaled from the reference's
-        # own DeepWalk:node2vec wall-clock ratio
-        kw = dict(model="node2vec", augmentation_step=2, p=0.25, q=0.25,
+        # node2vec pillar at the node2vec_youtube.yaml protocol shape:
+        # aug 5, p=4, q=2, exact 2nd-order rejection sampling; the
+        # denominator is the reference's own 4.39-min Youtube run
+        kw = dict(model="node2vec", augmentation_step=5, p=4.0, q=2.0,
                   random_walk_length=40, log_frequency=10**9)
         solver.train(num_epoch=2, **kw)                     # compile
         start = time.time()
@@ -272,7 +304,7 @@ def main():
         n2v_elapsed = time.time() - start
         n2v_rate = (solver.num_batch * solver.effective_batch
                     / n2v_elapsed)
-        vf = valid_fraction(solver, biased=True, p=0.25, q=0.25)
+        vf = valid_fraction(solver)
         result["node2vec_pairs_per_s"] = round(n2v_rate * vf, 1)
         result["node2vec_vs_baseline"] = round(
             n2v_rate * vf / N2V_BASELINE_PER_GPU, 4)

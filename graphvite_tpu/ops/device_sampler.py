@@ -606,6 +606,18 @@ class DeviceWalkSampler:
                                       W * n, biased=self.biased,
                                       p=self.p, q=self.q,
                                       bs_iters=self.bs_iters)
+        if self.banded:
+            bidir = self.bidir
+
+            def sample(key, *arrays):
+                chain, valid = chain_fn(key, *arrays)   # [L+1, W*n]
+                ct, pm = emit_walk_banded(chain, valid, aug, bidir=bidir)
+                L1 = ct.shape[1]
+                # walk-major: batch g gets walks g*W..(g+1)*W-1
+                return (ct.reshape(n, W, L1), ct.reshape(n, W, L1),
+                        pm.reshape(n, W, L1, -1))
+
+            return sample
 
         def sample(key, *arrays):
             chain, valid = chain_fn(key, *arrays)   # [L+1, W*n]

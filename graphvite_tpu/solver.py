@@ -408,9 +408,15 @@ class SolverBase:
         s = int(getattr(self, "_walk_slot_unit", 0) or 0)
         if s > 1:
             # banded batches are whole walks of T * (L+1) slots; pool
-            # groups divide the WALK count, so the 256-group slot
-            # rounding above does not apply
-            unit = s
+            # groups divide the WALK count, which must keep a power-of-2
+            # factor or graph_pool_groups collapses to G=1 (one shared
+            # negative pool for the whole batch — measured quality cliff
+            # on the quick-start clone: AUC 0.830 vs 0.874 when a 100k
+            # batch produced a prime 1219-walk count)
+            mult = 64
+            while mult > 1 and s * mult > eff:
+                mult //= 2
+            unit = s * mult
         eff = max(eff // unit * unit, unit)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         touch_cap = max(int(tau * self.graph.num_vertex
@@ -451,10 +457,17 @@ class SolverBase:
         # buys little; kept opt-in (GRAPHVITE_BULK_WALKS=1) because one
         # long-window run with it showed an unreproduced 3x slowdown.
         bulk_fn = None
+        bulk_default = "0"
+        # banded batches carry ~165x fewer walk lanes per batch (whole
+        # walks, T*(L+1) pair slots each), so the L-step walk scan's
+        # fixed overhead is no longer amortized within one batch — bulk
+        # episode generation supports the banded layout too; default is
+        # set by A/B on the device (pair-major r3: +0.8%, one
+        # unreproduced slowdown; banded measurement in PERF.md round 4)
         if (hasattr(sampler, "make_episode_sample_fn") and ep_groups > 1
                 and not getattr(sampler, "position_major", False)
                 and _os_env.environ.get("GRAPHVITE_BULK_WALKS",
-                                        "0") == "1"):
+                                        bulk_default) == "1"):
             bulk_fn = sampler.make_episode_sample_fn(batch_size, ep_groups)
         # what the bench's valid-fraction probe introspects
         self._active_sample_fn = sample_fn
@@ -786,6 +799,12 @@ class GraphSolver(SolverBase):
             import os as _os
             negative_sharing = _os.environ.get(
                 "GRAPHVITE_NEG_SHARING", "1") != "0"
+        # _batch_plan's memory cap depends on the step family (pooled
+        # steps keep only ~16 [B, D] output tensors live; the classic
+        # step materializes [B, K+1, D] chains) — set BEFORE any
+        # _batch_plan call or the first train of a solver plans with the
+        # smaller classic cap (only the KG path set this until round 4)
+        self._pooled_step = bool(negative_sharing)
         # SGD safety net for dense small graphs: hub rows a batch touches
         # hundreds of times otherwise diverge (optim.apply_row_updates trust
         # note; reproduced on the BlogCatalog-statistics clone)

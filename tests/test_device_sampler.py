@@ -162,3 +162,28 @@ def test_device_walk_weighted_neighbor_choice():
                 counts[int(name)] += np.sum(t[keep] == nid)
     frac = counts[1:] / counts[1:].sum()
     np.testing.assert_allclose(frac, [0.1, 0.3, 0.6], atol=0.03)
+
+
+def test_banded_sampler_shapes_and_mask():
+    """Banded mode emits whole walks: chain [W, L+1] ids twice plus a
+    [W, L+1, T] pair-validity mask whose mean is the valid-pair fraction
+    (boundary pairs dead: 1 - 2*(1+..+aug)/(T*(L+1)) on a sink-free
+    graph); the episode-bulk variant prepends the batch axis."""
+    import jax
+    rng = np.random.default_rng(0)
+    e = rng.integers(0, 500, (4000, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    g = Graph()
+    g.load_edge_list([tuple(x) for x in e], as_undirected=True,
+                     normalization=False)
+    bs = 164 * 8  # 8 walks of aug=2 bidir (T=4) x 41 positions
+    s = DeviceWalkSampler.build(g, 2, 40, bs, banded=True, bidir=True)
+    out = jax.jit(s.make_sample_fn(bs))(jax.random.PRNGKey(0), *s.arrays())
+    assert out[0].shape == (8, 41) and out[2].shape == (8, 41, 4)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))
+    # dense 500-vertex graph: no dead walks, only boundary-dead pairs
+    np.testing.assert_allclose(float(out[2].mean()), 1 - 6 / 164,
+                               atol=1e-6)
+    pool = jax.jit(s.make_episode_sample_fn(bs, 3))(jax.random.PRNGKey(1),
+                                                    *s.arrays())
+    assert pool[0].shape == (3, 8, 41) and pool[2].shape == (3, 8, 41, 4)

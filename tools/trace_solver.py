@@ -64,7 +64,8 @@ def run(which, trace_dir):
         g = bench.synthetic_graph()
         solver = GraphSolver(dim=128, float_type="bfloat16")
         solver.build(g, num_negative=1, batch_size=200000, episode_size=50)
-        kw = dict(model="DeepWalk", augmentation_step=2,
+        kw = dict(model="DeepWalk",
+                  augmentation_step=int(os.environ.get("TRACE_AUG", 5)),
                   random_walk_length=40, log_frequency=10**9)
         epochs = 3
     else:
