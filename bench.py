@@ -212,7 +212,10 @@ def main():
 
     dim = int(os.environ.get("BENCH_DIM", "128"))
     num_negative = int(os.environ.get("BENCH_NEG", "1"))
-    batch_size = int(os.environ.get("BENCH_BATCH", "200000"))
+    # 250k: the banded walk batch plateaus at eff ~236k (9 x 64-walk
+    # units); 200k planned 183k (-4%), 350k+ no further gain, and
+    # STEP_BYTES=4e9 at 500k regressed (XLA remat) — round-4 sweep
+    batch_size = int(os.environ.get("BENCH_BATCH", "250000"))
     # 120 epochs ~= 26 s of steady-state training: the 40-epoch window's
     # run-to-run spread was ±5-10% through the tunnel; at 120 it is ±1%
     num_epoch = int(os.environ.get("BENCH_EPOCH", "120"))

@@ -68,6 +68,9 @@ def _load():
     lib.gv_random_walks.argtypes = [pi, pi, pd, pi, pi, pi, i64, i64, u64,
                                     pi, pi]
     lib.gv_random_walks.restype = None
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    lib.gv_build_cuckoo.argtypes = [p32, p32, i64, p32, i64]
+    lib.gv_build_cuckoo.restype = ctypes.c_int
     return lib
 
 
@@ -91,6 +94,20 @@ def build_alias(weights):
     if rc != 0:
         raise ValueError("alias table requires positive finite weights")
     return prob, alias
+
+
+def build_cuckoo(us, vs, num_buckets):
+    """Bucketized cuckoo table over directed edges; returns the
+    [num_buckets, 4] int32 table or None if insertion failed at this
+    size (caller doubles and retries). Hash matches the device probe
+    (ops.device_sampler._cuckoo_hashes)."""
+    import numpy as np
+
+    table = np.full((num_buckets, 4), -1, dtype=np.int32)
+    rc = lib.gv_build_cuckoo(
+        _ptr(us, ctypes.c_int32), _ptr(vs, ctypes.c_int32), us.shape[0],
+        _ptr(table, ctypes.c_int32), num_buckets)
+    return table if rc == 0 else None
 
 
 def build_alias_packed(weights, offsets):

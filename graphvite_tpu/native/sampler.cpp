@@ -152,4 +152,75 @@ void gv_random_walks(const int64_t* indptr, const int64_t* indices,
   for (auto& th : pool) th.join();
 }
 
+// Bucketized cuckoo hash over directed edges (u -> v), for O(1) lockstep
+// membership tests on the device (node2vec rejection sampling needs
+// "candidate in N(prev)" per proposal; a binary search costs
+// ceil(log2(max_degree)) sequential gathers per test, this costs exactly
+// TWO [4]-int32 row gathers). 2 hash choices x 2 slots per bucket keeps
+// insertion safe to ~0.9 load. The hash MUST match the device side
+// (ops/device_sampler.py _cuckoo_hashes) bit for bit.
+static inline uint32_t gv_mix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x7feb352du;
+  x ^= x >> 15;
+  x *= 0x846ca68bu;
+  x ^= x >> 16;
+  return x;
+}
+
+static inline uint32_t gv_h1(uint32_t u, uint32_t v, uint32_t mask) {
+  return (gv_mix32(u * 0x9E3779B9u ^ gv_mix32(v))) & mask;
+}
+
+static inline uint32_t gv_h2(uint32_t u, uint32_t v, uint32_t mask) {
+  return (gv_mix32(v * 0x85EBCA6Bu ^ gv_mix32(u ^ 0x5bd1e995u))) & mask;
+}
+
+// table: [num_buckets * 4] int32, pre-filled with -1; bucket b holds up
+// to two (u, v) pairs at [4b, 4b+1] and [4b+2, 4b+3]. num_buckets must
+// be a power of two. Returns 0 on success, 1 if an eviction chain
+// exceeded the kick budget (caller doubles num_buckets and retries).
+int gv_build_cuckoo(const int32_t* us, const int32_t* vs, int64_t n,
+                    int32_t* table, int64_t num_buckets) {
+  uint32_t mask = (uint32_t)(num_buckets - 1);
+  std::mt19937_64 rng(0x5eedc0ffeeull);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t ku = us[i], kv = vs[i];
+    bool placed = false;
+    for (int kick = 0; kick < 500 && !placed; ++kick) {
+      uint32_t b1 = gv_h1((uint32_t)ku, (uint32_t)kv, mask);
+      uint32_t b2 = gv_h2((uint32_t)ku, (uint32_t)kv, mask);
+      const uint32_t buckets[2] = {b1, b2};
+      for (int c = 0; c < 2 && !placed; ++c) {
+        int32_t* slot = table + (int64_t)buckets[c] * 4;
+        for (int s = 0; s < 2; ++s) {
+          if (slot[2 * s] == -1) {
+            slot[2 * s] = ku;
+            slot[2 * s + 1] = kv;
+            placed = true;
+            break;
+          }
+          if (slot[2 * s] == ku && slot[2 * s + 1] == kv) {
+            placed = true;  // duplicate edge, already present
+            break;
+          }
+        }
+      }
+      if (!placed) {
+        // evict a random occupant of a random candidate bucket
+        uint32_t b = buckets[rng() & 1];
+        int s = (int)(rng() & 1);
+        int32_t* slot = table + (int64_t)b * 4 + 2 * s;
+        int32_t eu = slot[0], ev = slot[1];
+        slot[0] = ku;
+        slot[1] = kv;
+        ku = eu;
+        kv = ev;
+      }
+    }
+    if (!placed) return 1;
+  }
+  return 0;
+}
+
 }  // extern "C"

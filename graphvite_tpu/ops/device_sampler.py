@@ -185,8 +185,29 @@ class DeviceEdgeSampler:
         return sample
 
 
+def _cuckoo_mix(x):
+    """uint32 avalanche; MUST match native/sampler.cpp gv_mix32 bit for
+    bit (the table is built host-side, probed on device)."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7feb352d)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846ca68b)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _cuckoo_buckets(u, v, mask):
+    """Bucket ids (h1, h2) for directed edge (u, v); mirrors gv_h1/gv_h2."""
+    uu = u.astype(jnp.uint32)
+    vv = v.astype(jnp.uint32)
+    b1 = _cuckoo_mix(uu * np.uint32(0x9E3779B9) ^ _cuckoo_mix(vv)) & mask
+    b2 = _cuckoo_mix(vv * np.uint32(0x85EBCA6B)
+                     ^ _cuckoo_mix(uu ^ np.uint32(0x5bd1e995))) & mask
+    return b1, b2
+
+
 def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
-                       p=1.0, q=1.0, bs_iters=32):
+                       p=1.0, q=1.0, bs_iters=32, membership="search"):
     """Build the on-device walk generator shared by the single-chip
     DeviceWalkSampler and the multichip walk-pool path (parallel/mesh.py).
 
@@ -248,38 +269,73 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
                 walk_body, (v1, jnp.ones_like(v1, jnp.bool_)),
                 (w1s, w2s))
         else:
-            (sorted_idx,) = rest
+            (memb_array,) = rest
             max_bias = max(1.0, 1.0 / p, 1.0 / q)
 
-            def in_neighbors(x, u):
-                """u in N(x) via binary search on the row-sorted CSR
-                (int32-safe; the u*V+t key trick overflows int32)."""
-                row = vdeg[x]
-                lo = row[..., 0]
-                hi0 = lo + row[..., 1]
-                hi = hi0
-                n_edge = sorted_idx.shape[0]
+            if membership == "cuckoo":
+                ctable = memb_array                       # [M, 4] i32
+                cmask = np.uint32(ctable.shape[0] - 1)
 
-                def bs_body(_, state):
-                    lo, hi = state
-                    mid = (lo + hi) // 2
-                    v = sorted_idx[jnp.minimum(mid, n_edge - 1)]
-                    go_right = (v < u) & (lo < hi)
-                    new_lo = jnp.where(go_right, mid + 1, lo)
-                    new_hi = jnp.where((~go_right) & (lo < hi), mid, hi)
-                    return new_lo, new_hi
+                def in_neighbors(x, u):
+                    """Edge x -> u via the bucketized cuckoo table: TWO
+                    [4]-i32 row gathers, lockstep-friendly (no per-lane
+                    variable-depth search; native/sampler.cpp build)."""
+                    b1, b2 = _cuckoo_buckets(x, u, cmask)
+                    r1 = ctable[b1]
+                    r2 = ctable[b2]
+                    hit = jnp.zeros(x.shape, jnp.bool_)
+                    for r in (r1, r2):
+                        hit = (hit
+                               | ((r[..., 0] == x) & (r[..., 1] == u))
+                               | ((r[..., 2] == x) & (r[..., 3] == u)))
+                    return hit
+            else:
+                sorted_idx = memb_array
 
-                lo, hi = jax.lax.fori_loop(0, bs_iters, bs_body, (lo, hi))
-                found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
-                return found & (lo < hi0)
+                def in_neighbors(x, u):
+                    """u in N(x) via binary search on the row-sorted CSR
+                    (int32-safe; the u*V+t key trick overflows int32)."""
+                    row = vdeg[x]
+                    lo = row[..., 0]
+                    hi0 = lo + row[..., 1]
+                    hi = hi0
+                    n_edge = sorted_idx.shape[0]
+
+                    def bs_body(_, state):
+                        lo, hi = state
+                        mid = (lo + hi) // 2
+                        v = sorted_idx[jnp.minimum(mid, n_edge - 1)]
+                        go_right = (v < u) & (lo < hi)
+                        new_lo = jnp.where(go_right, mid + 1, lo)
+                        new_hi = jnp.where((~go_right) & (lo < hi), mid, hi)
+                        return new_lo, new_hi
+
+                    lo, hi = jax.lax.fori_loop(0, bs_iters, bs_body,
+                                               (lo, hi))
+                    found = sorted_idx[jnp.minimum(lo, n_edge - 1)] == u
+                    return found & (lo < hi0)
 
             # R parallel proposals per rejection round keeps the sampler
-            # exact (first-accepted-of-an-ordered-stream), but the loop is
-            # GATHER-COUNT bound, not depth bound: R=8 measured 1.43M vs
-            # R=1's 2.11M pair-slots/s end to end (acceptance is high at
-            # p=q=0.25, so extra proposals are pure waste). R=1 with the
-            # degree-capped binary search is the winning shape.
-            R = 1
+            # exact (first-accepted-of-an-ordered-stream). The right R
+            # depends on the ACCEPTANCE RATE, not a fixed best: the
+            # while_loop is lockstep across W lanes, so rounds-to-all-
+            # accept ~ log(W)/log(1/(1-a)^R). At p=q=0.25 acceptance ~1
+            # (max_bias=4 puts return/else at 1.0) and R=1 wins (R=8
+            # measured 1.43M vs 2.11M slots/s, r3). At the Youtube
+            # protocol p=4 q=2, max_bias=1 and the dominant "else" class
+            # accepts at 0.5 — R=1 pays ~11 lockstep rounds and node2vec
+            # measured 0.11x; batching proposals trades elements for
+            # rounds. Auto-rule: R = 2^ceil(log2(1/a_est)) capped at 8,
+            # where a_est = (1/q)/max_bias is the dominant-class
+            # acceptance (GRAPHVITE_N2V_PROPOSALS overrides).
+            import os as _os
+            _env_R = _os.environ.get("GRAPHVITE_N2V_PROPOSALS", "")
+            if _env_R:
+                R = max(int(_env_R), 1)
+            else:
+                a_est = min(1.0, 1.0 / q) / max_bias
+                R = (1 if a_est >= 0.8
+                     else min(8, 2 ** int(math.ceil(math.log2(1.0 / a_est)))))
 
             def walk_body(carry, step_key):
                 v, prev, alive = carry
@@ -468,6 +524,8 @@ class DeviceWalkSampler:
     sorted_indices: Optional[jax.Array] = None  # [Ed] i32: CSR indices, each
     #                                             vertex's row sorted (for
     #                                             int32-safe membership search)
+    #                                             OR a [M, 4] cuckoo table
+    membership: str = "search"  # "search" | "cuckoo" (node2vec rejection)
     # position-major mode (emit_walk_positions): one sample per walk
     # position carrying num_tail tails; W sized so (L+1) positions per
     # walk cover batch_size // num_tail samples
@@ -515,18 +573,32 @@ class DeviceWalkSampler:
             pairs_per_walk = sum(L + 1 - k for k in range(1, aug + 1))
             num_walk = max(int(math.ceil(batch_size / pairs_per_walk)), 1)
         if biased:
-            # row-sorted CSR indices: lexsort by (source, neighbor) keeps
-            # rows contiguous with neighbors ascending within each row
-            order = np.lexsort((graph.indices,
-                                np.repeat(np.arange(graph.indptr.size - 1),
-                                          np.diff(graph.indptr))))
             deg = np.diff(graph.indptr)
             max_deg = int(deg.max()) if deg.size else 1
             kw.update(biased=True, p=float(p), q=float(q),
                       bs_iters=max(int(math.ceil(math.log2(max_deg + 1)))
-                                   + 1, 1),
-                      sorted_indices=jnp.asarray(graph.indices[order],
-                                                 jnp.int32))
+                                   + 1, 1))
+            # membership structure for the rejection test "edge cand->prev
+            # exists": prefer the bucketized cuckoo table (2 row gathers
+            # per test, lockstep-exact) over the binary search
+            # (ceil(log2(max_deg)) sequential gathers); falls back when
+            # the native builder is unavailable or the table would
+            # exceed the byte cap (huge graphs)
+            import os as _os
+            ctable = None
+            if _os.environ.get("GRAPHVITE_N2V_CUCKOO", "1") != "0":
+                ctable = cls._build_cuckoo(graph)
+            if ctable is not None:
+                kw.update(membership="cuckoo",
+                          sorted_indices=jnp.asarray(ctable))
+            else:
+                # row-sorted CSR indices: lexsort by (source, neighbor)
+                # keeps rows contiguous, neighbors ascending within a row
+                order = np.lexsort(
+                    (graph.indices,
+                     np.repeat(np.arange(graph.indptr.size - 1), deg)))
+                kw.update(sorted_indices=jnp.asarray(graph.indices[order],
+                                                     jnp.int32))
         return cls(
             edge_prob=jnp.asarray(t.prob, jnp.float32),
             edge_alias=jnp.asarray(t.alias, jnp.int32),
@@ -542,6 +614,33 @@ class DeviceWalkSampler:
             walk_length=L, augmentation_step=aug,
             batch_size=int(batch_size), num_walk=num_walk, **kw)
 
+    @staticmethod
+    def _build_cuckoo(graph, max_bytes=None):
+        """Host-build the [M, 4] cuckoo table over directed CSR edges
+        (native/sampler.cpp); None when unavailable or over budget."""
+        import os as _os
+        from graphvite_tpu import native as _native
+        if _native.lib is None:
+            return None
+        if max_bytes is None:
+            max_bytes = float(_os.environ.get("GRAPHVITE_CUCKOO_MAX_BYTES",
+                                              2e9))
+        ed = int(graph.indices.size)
+        if ed == 0:
+            return None
+        m = 1 << max(int(math.ceil(math.log2(max(ed / 1.2, 2)))), 1)
+        us = np.repeat(np.arange(graph.indptr.size - 1),
+                       np.diff(graph.indptr)).astype(np.int32)
+        vs = np.ascontiguousarray(graph.indices, np.int32)
+        for _ in range(3):
+            if 16 * m > max_bytes:
+                return None
+            table = _native.build_cuckoo(us, vs, m)
+            if table is not None:
+                return table
+            m *= 2
+        return None
+
     def arrays(self):
         out = [self.edge_prob, self.edge_alias, self.heads, self.tails,
                self.vdeg, self.indices, self.nbr_prob, self.nbr_alias]
@@ -555,7 +654,8 @@ class DeviceWalkSampler:
         chain_fn = make_walk_chain_fn(self.uniform, self.walk_length,
                                       self.num_walk, biased=self.biased,
                                       p=self.p, q=self.q,
-                                      bs_iters=self.bs_iters)
+                                      bs_iters=self.bs_iters,
+                                      membership=self.membership)
         if self.banded:
             bidir = self.bidir
 
@@ -605,7 +705,8 @@ class DeviceWalkSampler:
         chain_fn = make_walk_chain_fn(self.uniform, self.walk_length,
                                       W * n, biased=self.biased,
                                       p=self.p, q=self.q,
-                                      bs_iters=self.bs_iters)
+                                      bs_iters=self.bs_iters,
+                                      membership=self.membership)
         if self.banded:
             bidir = self.bidir
 

@@ -935,7 +935,14 @@ class GraphSolver(SolverBase):
             # quality (AUC 0.8739 vs 0.8743, RESULTS.md round-3 ablation);
             # per-group diversity stays >= the 64-candidate bar from the
             # KG pool study
-            pool_size = int(_os3.environ.get("GRAPHVITE_POOL_SIZE", 128))
+            # walk-grouped steps default to M=64: pool row traffic and
+            # the [*, M] einsums shrink with M, and on the banded aug=5
+            # bench M=64 measured +8% over 128 (42.3M vs 39.1M pairs/s)
+            # at clone-AUC parity (0.8745 vs 0.8739; M=32 bought only
+            # +1% more and dips below the 64-candidate diversity bar).
+            # The aug=1 edge path keeps its round-3-tuned 128.
+            pool_size = int(_os3.environ.get(
+                "GRAPHVITE_POOL_SIZE", 64 if walk_grouped else 128))
             if banded:
                 # groups partition WALKS; bound coherent pair mass per
                 # pool row at the same ~2048-slot target as the pair step

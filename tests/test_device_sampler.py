@@ -187,3 +187,67 @@ def test_banded_sampler_shapes_and_mask():
     pool = jax.jit(s.make_episode_sample_fn(bs, 3))(jax.random.PRNGKey(1),
                                                     *s.arrays())
     assert pool[0].shape == (3, 8, 41) and pool[2].shape == (3, 8, 41, 4)
+
+
+def test_cuckoo_membership_matches_binary_search():
+    """The cuckoo membership table must reproduce the binary-search
+    rejection sampler EXACTLY: same key, same proposals, same accept
+    decisions -> identical node2vec chains (the bias function is the only
+    consumer of membership, so chain equality proves the table answers
+    every (cand, prev) query identically)."""
+    import jax
+    import dataclasses
+    from graphvite_tpu import native as _native
+    if _native.lib is None:
+        import pytest
+        pytest.skip("native builder unavailable")
+    rng = np.random.default_rng(2)
+    e = rng.integers(0, 400, (3000, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    g = Graph()
+    g.load_edge_list([tuple(x) for x in e], as_undirected=True,
+                     normalization=False)
+    bs = 82 * 8
+    s = DeviceWalkSampler.build(g, 2, 40, bs, biased=True, p=4.0, q=2.0,
+                                banded=True, bidir=True)
+    assert s.membership == "cuckoo"
+    # exhaustive membership check: every directed edge hits, fuzzed
+    # non-edges miss
+    ct = np.asarray(s.sorted_indices)
+    us = np.repeat(np.arange(g.indptr.size - 1), np.diff(g.indptr))
+    vs = np.asarray(g.indices)
+    from graphvite_tpu.ops.device_sampler import _cuckoo_buckets
+    import jax.numpy as jnp
+
+    def probe(x, u):
+        b1, b2 = _cuckoo_buckets(jnp.asarray(x, jnp.int32),
+                                 jnp.asarray(u, jnp.int32),
+                                 np.uint32(ct.shape[0] - 1))
+        hit = np.zeros(np.shape(x), bool)
+        for b in (np.asarray(b1), np.asarray(b2)):
+            r = ct[b]
+            hit |= ((r[..., 0] == x) & (r[..., 1] == u)) \
+                | ((r[..., 2] == x) & (r[..., 3] == u))
+        return hit
+
+    assert probe(us, vs).all()
+    edge_set = set(zip(us.tolist(), vs.tolist()))
+    fu = rng.integers(0, 400, 5000)
+    fv = rng.integers(0, 400, 5000)
+    keep = np.array([(a, b) not in edge_set
+                     for a, b in zip(fu.tolist(), fv.tolist())])
+    assert not probe(fu[keep], fv[keep]).any()
+    # chain equality vs the binary-search fallback
+    order = np.lexsort((g.indices,
+                        np.repeat(np.arange(g.indptr.size - 1),
+                                  np.diff(g.indptr))))
+    s_bs = dataclasses.replace(
+        s, membership="search",
+        sorted_indices=jnp.asarray(g.indices[order], jnp.int32))
+    f1 = jax.jit(s.make_sample_fn(bs))
+    f2 = jax.jit(s_bs.make_sample_fn(bs))
+    for seed in range(3):
+        o1 = f1(jax.random.PRNGKey(seed), *s.arrays())
+        o2 = f2(jax.random.PRNGKey(seed), *s_bs.arrays())
+        np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+        np.testing.assert_array_equal(np.asarray(o1[2]), np.asarray(o2[2]))
