@@ -35,8 +35,7 @@ def linear_classification(embeddings, labels, portion, normalization=False,
     num_train = int(num_sample * portion)
     dim = embeddings.shape[1]
 
-    @jax.jit
-    def train_probe(x, y, w, b, mw, mb):
+    def probe_step(x, y, w, b, mw, mb):
         def loss_fn(w, b):
             logits = x @ w + b
             return jnp.mean(
@@ -48,6 +47,21 @@ def linear_classification(embeddings, labels, portion, normalization=False,
         mw = 0.9 * mw + gw
         mb = 0.9 * mb + gb
         return loss, w - 1.0 * mw, b - 1.0 * mb, mw, mb
+
+    # `patience` epochs per device call: one call + one loss readback PER
+    # EPOCH costs a host round-trip each (25 ms through this
+    # environment's device tunnel -> 100x the step itself); the patience
+    # rule is applied to the returned loss history, overshooting the
+    # per-epoch stop by at most one chunk of a converged probe
+    @jax.jit
+    def train_chunk(x, y, w, b, mw, mb):
+        def body(carry, _):
+            w, b, mw, mb = carry
+            loss, w, b, mw, mb = probe_step(x, y, w, b, mw, mb)
+            return (w, b, mw, mb), loss
+        (w, b, mw, mb), losses = jax.lax.scan(
+            body, (w, b, mw, mb), None, length=max(patience, 1))
+        return losses, w, b, mw, mb
 
     macro, micro = [], []
     for _ in range(max(times, 1)):
@@ -64,13 +78,15 @@ def linear_classification(embeddings, labels, portion, normalization=False,
         b = jnp.zeros((num_class,), jnp.float32)
         mw = jnp.zeros_like(w)
         mb = jnp.zeros_like(b)
-        best_loss, best_epoch = np.inf, -1
-        for epoch in range(100000):
-            loss, w, b, mw, mb = train_probe(x, y, w, b, mw, mb)
-            loss = float(loss)
-            if loss < best_loss:
-                best_loss, best_epoch = loss, epoch
-            if epoch == best_epoch + patience:
+        best_loss, best_epoch, epoch0 = np.inf, -1, 0
+        for _ in range(max(100000 // max(patience, 1), 1)):
+            losses, w, b, mw, mb = train_chunk(x, y, w, b, mw, mb)
+            hist = np.asarray(losses)
+            i = int(np.argmin(hist))
+            if hist[i] < best_loss:
+                best_loss, best_epoch = float(hist[i]), epoch0 + i
+            epoch0 += hist.size
+            if epoch0 - 1 >= best_epoch + patience:
                 break
 
         logits = np.asarray(jnp.asarray(embeddings[test_idx]) @ w + b)

@@ -1512,6 +1512,9 @@ class VisualizationSolver(SolverBase):
         if negative_sharing in (auto, None):
             negative_sharing = _os3.environ.get(
                 "GRAPHVITE_NEG_SHARING", "1") != "0"
+        # pooled steps plan batches under the larger pooled memory cap
+        # (see GraphSolver.train) — set before the _batch_plan call below
+        self._pooled_step = bool(negative_sharing)
         if negative_sharing:
             pool_batch = (self._batch_plan()[1]
                           if self.sampler_backend == "device"

@@ -120,7 +120,7 @@ def generate(scale=1.0, mu=0.55, label_frac=0.028, seed=0):
 
 def dataset_dir():
     from graphvite_tpu import base
-    d = os.path.join(base.cfg.dataset_path, "youtube_clone")
+    d = os.path.join(base.dataset_path, "youtube_clone")
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -157,8 +157,13 @@ def run(scale, mu, epochs, portions, seed=0, times=1):
     t0 = time.time()
     app.load(file_name=gpath, as_undirected=True)
     load_s = time.time() - t0
+    # batch_size: the reference's 100000 is its GPU kernel batch — its
+    # hogwild kernel still applies per-SAMPLE updates inside it, so
+    # neither system's "batch" is the other's SGD granularity. We use the
+    # throughput-optimal device batch at the SAME total sample budget;
+    # quality is what the resulting micro-F1 gates.
     app.build(optimizer={"type": "SGD", "lr": 0.025, "weight_decay": 5e-3},
-              num_negative=1, batch_size=100000, episode_size=500)
+              num_negative=1, batch_size=250000, episode_size=500)
     # deepwalk_youtube.yaml train section
     t1 = time.time()
     app.train(model="DeepWalk", num_epoch=epochs, negative_weight=5,
