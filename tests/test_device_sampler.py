@@ -189,14 +189,17 @@ def test_banded_sampler_shapes_and_mask():
     assert pool[0].shape == (3, 8, 41) and pool[2].shape == (3, 8, 41, 4)
 
 
-def test_cuckoo_membership_matches_binary_search():
+def test_cuckoo_membership_matches_binary_search(monkeypatch):
     """The cuckoo membership table must reproduce the binary-search
     rejection sampler EXACTLY: same key, same proposals, same accept
     decisions -> identical node2vec chains (the bias function is the only
     consumer of membership, so chain equality proves the table answers
-    every (cand, prev) query identically)."""
+    every (cand, prev) query identically). Proposal count is pinned —
+    the auto-rule deliberately picks different R per membership mode,
+    which changes the proposal stream."""
     import jax
     import dataclasses
+    monkeypatch.setenv("GRAPHVITE_N2V_PROPOSALS", "2")
     from graphvite_tpu import native as _native
     if _native.lib is None:
         import pytest
