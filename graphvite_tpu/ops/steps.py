@@ -571,15 +571,27 @@ def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
         c = context[chain].astype(jnp.float32)
         P = context[pool_ids].astype(jnp.float32)            # [G, M, D]
 
+        # experimental: run the shifted band products with bf16 operands
+        # (f32 sums). The per-term positive gradients round to bf16
+        # precision, matching a bf16 table write anyway; gated until the
+        # clone quality A/B (GRAPHVITE_BF16_BAND=1)
+        import os as _os
+        band_dt = (jnp.bfloat16
+                   if (_os.environ.get("GRAPHVITE_BF16_BAND", "0") == "1"
+                       and vertex.dtype == jnp.bfloat16)
+                   else jnp.float32)
+        vb = v.astype(band_dt)
+        cb = c.astype(band_dt)
+
         # positive band: per offset, shifted elementwise product
         gpos_list, csh_list = [], []
         pos_loss = jnp.float32(0.0)
         for t_i, kk in enumerate(offs):
-            csh = shift_fwd(c, kk)
-            logit = jnp.sum(v * csh, axis=-1)                # [B, L1]
+            csh = shift_fwd(cb, kk)
+            logit = jnp.sum((vb * csh).astype(jnp.float32), axis=-1)
             m = mask[..., t_i]
             gpos_list.append((jax.nn.sigmoid(logit) - 1.0) * m)
-            csh_list.append(csh)
+            csh_list.append(csh.astype(jnp.float32))
             pos_loss = pos_loss + jnp.sum(m * jax.nn.softplus(-logit))
         cnt = jnp.sum(mask, axis=-1)                         # [B, L1]
 
