@@ -333,7 +333,12 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
             if _env_R:
                 R = max(int(_env_R), 1)
             else:
-                a_est = min(1.0, 1.0 / q) / max_bias
+                # dominant-class ("else") acceptance: bias 1/q over
+                # max_bias — already <= 1 since max_bias >= 1/q (no
+                # extra clamp: min(1, 1/q)/max_bias would underestimate
+                # acceptance for q < 1 and batch proposals where R=1
+                # wins, e.g. p=q=0.25 -> true a=1.0, clamped 0.25)
+                a_est = (1.0 / q) / max_bias
                 if a_est >= 0.8:
                     R = 1
                 elif membership == "cuckoo":
@@ -459,9 +464,7 @@ def emit_walk_positions(chain, valid, aug, bidir=False):
     doubles pairs per walk at zero extra walk cost."""
     L = chain.shape[0] - 1
     W = chain.shape[1]
-    offsets = list(range(1, aug + 1))
-    if bidir:
-        offsets += [-k for k in range(1, aug + 1)]
+    offsets = walk_offsets(aug, bidir)  # order shared with the consumers
     ts, ms = [], []
     for k in offsets:
         if k > 0:
@@ -708,6 +711,11 @@ class DeviceWalkSampler:
         [n_batches, batch_size]; batch g gets walks g*W..(g+1)*W-1,
         matching the per-batch sampler's semantics."""
         assert batch_size == self.batch_size
+        if self.position_major:
+            raise NotImplementedError(
+                "episode-bulk generation supports pair-major and banded "
+                "layouts; the position-major (multitail) sampler has no "
+                "bulk emitter")
         aug = self.augmentation_step
         W, n = self.num_walk, int(n_batches)
         chain_fn = make_walk_chain_fn(self.uniform, self.walk_length,

@@ -1039,7 +1039,11 @@ class GraphSolver(SolverBase):
                 sampler = self._get_sampler(
                     ("walk", augmentation_step, random_walk_length,
                      model == "node2vec", p, q, eff_batch,
-                     multitail, banded, walk_bidir),
+                     multitail, banded, walk_bidir,
+                     # membership structure and proposal count shape the
+                     # built sampler / compiled chain (node2vec only)
+                     _os3.environ.get("GRAPHVITE_N2V_CUCKOO", "1"),
+                     _os3.environ.get("GRAPHVITE_N2V_PROPOSALS", "")),
                     lambda: DeviceWalkSampler.build(
                         self.graph, augmentation_step, random_walk_length,
                         eff_batch, biased=(model == "node2vec"),
@@ -1056,7 +1060,10 @@ class GraphSolver(SolverBase):
                                                1024)),
                           int(_os3.environ.get("GRAPHVITE_SWEEP_CHUNK",
                                                256)),
-                          trust)
+                          trust,
+                          _os3.environ.get("GRAPHVITE_BF16_BAND", "0"),
+                          _os3.environ.get("GRAPHVITE_N2V_CUCKOO", "1"),
+                          _os3.environ.get("GRAPHVITE_N2V_PROPOSALS", ""))
             cache_key = ("graph", model, self.optimizer, self.num_negative,
                          float(negative_weight), int(augmentation_step),
                          int(random_walk_length), float(p), float(q),
@@ -1294,7 +1301,11 @@ class KnowledgeGraphSolver(SolverBase):
                          float(margin_or_l3), self.adversarial_temperature,
                          float(relation_lr_multiplier),
                          bool(negative_sharing), pool_groups, pool_size,
-                         trust)
+                         trust,
+                         # model-specialized pooled bodies are chosen at
+                         # trace time — an env flip between train() calls
+                         # must not reuse the stale executable
+                         _os2.environ.get("GRAPHVITE_KG_FAST", "1"))
             self._train_loop_device(step_fn, sampler, (), num_epoch,
                                     positive_reuse, log_frequency, True,
                                     cache_key)
