@@ -114,8 +114,13 @@ def valid_fraction(solver, n_probe=8, **_ignored):
     import jax
     import jax.numpy as jnp
 
-    fn = solver._active_sample_fn
-    s = solver._active_sampler
+    # only the device-backend fused loop assigns these; a host-sampler run
+    # (or any path skipping _train_loop_device) has no probe target — report
+    # 1.0 rather than losing the whole timed run to an AttributeError
+    fn = getattr(solver, "_active_sample_fn", None)
+    s = getattr(solver, "_active_sampler", None)
+    if fn is None or s is None:
+        return 1.0
 
     @jax.jit
     def probe(key, arrays):

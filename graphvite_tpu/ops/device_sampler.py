@@ -328,6 +328,12 @@ def make_walk_chain_fn(uniform, walk_length, num_walk, biased=False,
             # rounds. Auto-rule: R = 2^ceil(log2(1/a_est)) capped at 8,
             # where a_est = (1/q)/max_bias is the dominant-class
             # acceptance (GRAPHVITE_N2V_PROPOSALS overrides).
+            # LIMITATION: a_est models only the distance-2 ("else") class;
+            # on clustered graphs many proposals land in N(prev) and accept
+            # at 1/max_bias < a_est, or p may be the binding bias — R is
+            # then underestimated and the lockstep loop pays extra rounds
+            # (perf only, never correctness: the rejection test itself is
+            # exact). Tune GRAPHVITE_N2V_PROPOSALS upward on such graphs.
             import os as _os
             _env_R = _os.environ.get("GRAPHVITE_N2V_PROPOSALS", "")
             if _env_R:

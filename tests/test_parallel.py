@@ -290,6 +290,94 @@ def test_solver_mesh_matches_single_chip_loss():
     assert abs(single - mesh) / max(single, 1e-9) < 0.25, (single, mesh)
 
 
+def test_solver_mesh_deepwalk_matches_single_chip_loss():
+    """The banded walks mesh engine (distributed row fetch/update) trains
+    the SAME step family as the flat engine (VERDICT r4 item 1); its final
+    loss must be within noise of single-chip DeepWalk at matched
+    hyperparameters."""
+    from graphvite_tpu.solver import GraphSolver
+
+    g = two_blocks(100)
+
+    def final_loss(num_worker):
+        import logging
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, r):
+                records.append(r.getMessage())
+
+        from graphvite_tpu.utils.common import logger as glog
+        h = Grab()
+        glog.addHandler(h)
+        try:
+            solver = GraphSolver(dim=16, num_worker=num_worker, seed=7)
+            solver.build(g, num_negative=2, batch_size=512, episode_size=4)
+            solver.train(model="DeepWalk", num_epoch=1200,
+                         augmentation_step=2, random_walk_length=6,
+                         negative_weight=1.0, log_frequency=10**9)
+        finally:
+            glog.removeHandler(h)
+        losses = [float(m.rsplit("=", 1)[1]) for m in records
+                  if "loss =" in m]
+        return losses[-1]
+
+    single = final_loss(1)
+    mesh = final_loss(4)
+    assert abs(single - mesh) / max(single, 1e-9) < 0.25, (single, mesh)
+
+
+def test_banded_mesh_lr0_roundtrip():
+    """lr=0 banded episodes must leave both sharded tables exactly
+    unchanged: the distributed fetch -> core -> gradient-return path may
+    not corrupt rows it touches (wiring correctness for the all_to_all
+    route and the owner-side scatter)."""
+    from graphvite_tpu.parallel.mesh import (VertexPartition,
+                                             ShardedGraphTrainer, make_mesh)
+    from graphvite_tpu.models import GRAPH_MODELS
+
+    g = two_blocks(80)
+    W = 4
+    mesh = make_mesh(W)
+    part = VertexPartition(np.asarray(g.degrees), W)
+    opt = Optimizer(type="SGD", lr=0.0, weight_decay=0.0)
+    walk_cfg = dict(augmentation_step=2, walk_length=6, batch_walks=16,
+                    bidir=True, pool_size=16, biased=False)
+    tr = ShardedGraphTrainer(mesh, part, 16, GRAPH_MODELS["DeepWalk"], opt,
+                             num_negative=1, negative_weight=1.0,
+                             batch_size=16 * 4 * 7, ep_batches=3,
+                             sampler_mode="walks", walk_cfg=walk_cfg)
+    sample_state = tr.build_sample_state(g)
+    rng = np.random.default_rng(0)
+    v0 = rng.standard_normal((g.num_vertex, 16)).astype(np.float32)
+    c0 = rng.standard_normal((g.num_vertex, 16)).astype(np.float32)
+    state = tr.init_state(v0, c0)
+    neg = tr.init_negative_state(np.asarray(g.vertex_weights))
+    for e in range(3):
+        state, neg, losses = tr.run_episode(state, sample_state, neg,
+                                            e * 3, 100, seed=e)
+        assert np.isfinite(np.asarray(losses)).all()
+    v, c = tr.gather_tables(state)
+    np.testing.assert_allclose(v, v0, rtol=1e-6)
+    np.testing.assert_allclose(c, c0, rtol=1e-6)
+
+
+def test_banded_mesh_adam_moments_finite():
+    """The moments return path (counts + squared sums routed to owners)
+    must produce finite tables and learn under Adam."""
+    from graphvite_tpu.solver import GraphSolver
+
+    g = two_blocks(100)
+    s = GraphSolver(dim=16, seed=3, num_worker=4)
+    s.build(g, optimizer=dict(type="Adam", lr=1e-3), num_negative=2,
+            batch_size=512, episode_size=4)
+    s.train(model="DeepWalk", num_epoch=200, augmentation_step=2,
+            random_walk_length=6, log_frequency=10**9)
+    assert np.isfinite(s.vertex_embeddings).all()
+    assert np.isfinite(s.context_embeddings).all()
+    assert not np.allclose(s.vertex_embeddings, 0)
+
+
 # -- sharded (tied-weights) KG trainer ---------------------------------------
 
 def test_kg_tournament_schedule_all_pairs():
@@ -375,6 +463,50 @@ def test_sharded_kg_learns():
     ent_out = trainer.gather_entities(state)
     assert np.isfinite(ent_out).all()
     assert not np.allclose(ent_out, ent)
+
+
+def test_sharded_kg_pooled_learns():
+    """negative_pool="pooled" runs the TUNED shared-candidate step family
+    (make_kg_pool_step incl. the RotatE isometry body) on the local arena —
+    the engine the multichip throughput claims rest on (VERDICT r4 item 1).
+    Gate: trains to the same math-fixture quality as the classic engine."""
+    import os
+    from collections import defaultdict
+    from graphvite_tpu.graph import KnowledgeGraph
+    from graphvite_tpu.solver import KnowledgeGraphSolver
+    from graphvite_tpu.application import evaluate as ev
+
+    rng = np.random.default_rng(0)
+    trips = []
+    for _ in range(2000):
+        x = int(rng.integers(50))
+        c = int(rng.integers(1, 6))
+        trips.append((str(x), "+%d" % c, str((x + c) % 50)))
+    kg = KnowledgeGraph().load_triplet_list(trips)
+    os.environ["GRAPHVITE_KG_NEG_POOL"] = "pooled"
+    try:
+        s = KnowledgeGraphSolver(dim=32, seed=0, num_worker=4)
+        s.build(kg, optimizer=dict(type="Adam", lr=5e-3), num_negative=8,
+                batch_size=256, episode_size=4)
+        s.train(model="RotatE", num_epoch=600, margin=6.0,
+                log_frequency=10**9)
+    finally:
+        del os.environ["GRAPHVITE_KG_NEG_POOL"]
+    test = []
+    for _ in range(100):
+        x = int(rng.integers(50))
+        c = int(rng.integers(1, 6))
+        test.append((str(x), "+%d" % c, str((x + c) % 50)))
+    e2i, r2i = kg.entity2id, kg.relation2id
+    rows = [(e2i[h], r2i[r], e2i[t]) for h, r, t in test
+            if h in e2i and r in r2i and t in e2i]
+    H, R, T = (np.asarray(x) for x in zip(*rows))
+    rk = ev.filtered_rankings("RotatE", s.entity_embeddings,
+                              s.relation_embeddings, H, R, T,
+                              defaultdict(set), defaultdict(set), 6.0,
+                              "tail")
+    m = ev.ranking_metrics(rk)
+    assert m["MRR"] > 0.85, m
 
 
 def test_solver_mesh_kg_quality():
