@@ -11,7 +11,17 @@ from graphvite_tpu.models import (LINE, TransE, DistMult, ComplEx, SimplE,
                                   RotatE, QuatE, LargeVis)
 import oracle
 
-jax.config.update("jax_enable_x64", True)
+# x64 is needed for the tight golden tolerances here, but enabling it at
+# import time leaked into every test module that ran AFTER this one (f32
+# RNG draws change under x64 and the mesh quality gates saw different
+# trajectories) — scope it to this module and restore on teardown
+@pytest.fixture(autouse=True, scope="module")
+def _x64_scope():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
 
 DIM = 16
 B = 7
