@@ -63,6 +63,199 @@ def exact_knn(vectors: np.ndarray, k: int, row_chunk: int = 4096,
     return dist[:n], labels[:n]
 
 
+def _kmeans_device(x_dev, sq_dev, nlist: int, sample: int, iters: int,
+                   seed: int):
+    """Mini-batch-free Lloyd k-means on a device-resident sample: assign by
+    argmin squared-L2 (one matmul), update by segment-sum. Returns
+    centroids [nlist, D] f32. Empty clusters keep their previous centroid."""
+    import jax
+    import jax.numpy as jnp
+
+    n = x_dev.shape[0]
+    rng = np.random.default_rng(seed)
+    sample = min(sample, n)
+    sidx = jnp.asarray(rng.choice(n, sample, replace=False), jnp.int32)
+    xs = x_dev[sidx].astype(jnp.float32)                  # [S, D]
+    cidx = jnp.asarray(rng.choice(sample, nlist, replace=False), jnp.int32)
+
+    @jax.jit
+    def run(xs):
+        cent = xs[cidx]
+
+        def body(_, cent):
+            d2 = (jnp.sum(cent * cent, axis=1)[None, :]
+                  - 2.0 * jnp.dot(xs, cent.T,
+                                  preferred_element_type=jnp.float32))
+            a = jnp.argmin(d2, axis=1)                    # [S]
+            ssum = jax.ops.segment_sum(xs, a, num_segments=nlist)
+            cnt = jax.ops.segment_sum(jnp.ones((xs.shape[0],)), a,
+                                      num_segments=nlist)
+            new = ssum / jnp.maximum(cnt, 1.0)[:, None]
+            return jnp.where((cnt > 0)[:, None], new, cent)
+
+        return jax.lax.fori_loop(0, iters, body, cent)
+
+    return run(xs)
+
+
+def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
+            sample: int = 131072, kmeans_iters: int = 10, seed: int = 0,
+            row_chunk: int = 8192, dtype="bfloat16"):
+    """Approximate KNN by inverted-file cluster probing — the TPU-native
+    replacement for FAISS at million-row scale, where brute force
+    (exact_knn) is O(n^2 d) MXU-hours (ImageNet 1.33M x 2048 would be
+    ~7e18 FLOPs; visualization.cuh:60-95 brute-forces on 4 GPUs because
+    V100-class FAISS had no better exact option).
+
+    Everything is matmuls: k-means centroids on a sample, one chunked
+    assignment matmul over all rows, per-CLUSTER probing (each cluster's
+    members share one candidate set = the members of its `nprobe` nearest
+    clusters), one [m_c, D] x [D, ccap] matmul + approx top-k per cluster.
+    Shared candidate sets keep the compute dense — a per-query candidate
+    gather would kill the MXU layout.
+
+    Returns (dist [n, k], labels [n, k]) EXCLUDING self (masked by id).
+    Recall is a statistical property (use knn_recall to measure); LargeVis
+    weights are insensitive to swapping far neighbors — the original
+    LargeVis itself uses approximate RP-tree neighbors (arXiv:1602.00370).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, d = vectors.shape
+    if nlist <= 0:
+        nlist = max(int(np.sqrt(n) * 2), 64)
+    nprobe = min(nprobe, nlist)
+    x_dev = jnp.asarray(vectors, jnp.bfloat16 if dtype == "bfloat16"
+                        else jnp.float32)
+    sq_dev = jnp.sum(x_dev.astype(jnp.float32) ** 2, axis=1)
+    logger.info("IVF KNN: %d rows, %d clusters, %d probes", n, nlist, nprobe)
+    cent = _kmeans_device(x_dev, sq_dev, nlist, sample, kmeans_iters, seed)
+    cent_t = cent.astype(x_dev.dtype)
+
+    # full assignment (chunked argmin matmul)
+    @jax.jit
+    def assign_chunk(lo):
+        rows = jax.lax.dynamic_slice_in_dim(x_dev, lo, row_chunk, 0)
+        d2 = (jnp.sum(cent * cent, axis=1)[None, :]
+              - 2.0 * jnp.dot(rows, cent_t.T,
+                              preferred_element_type=jnp.float32))
+        return jnp.argmin(d2, axis=1)
+
+    assign = np.empty(n, np.int32)
+    for lo in range(0, n, row_chunk):
+        hi = min(lo + row_chunk, n)
+        a = np.asarray(assign_chunk(min(lo, n - row_chunk)))
+        assign[lo:hi] = a[lo - min(lo, n - row_chunk):][:hi - lo]
+
+    # per-cluster probe lists (own cluster first)
+    cc = np.asarray(jax.jit(lambda: (
+        jnp.sum(cent * cent, axis=1)[None, :]
+        - 2.0 * jnp.dot(cent, cent.T,
+                        preferred_element_type=jnp.float32)))())
+    probe = np.argsort(cc, axis=1)[:, :nprobe].astype(np.int32)  # [nlist, np]
+
+    # member lists, padded/truncated to mcap (truncation only affects the
+    # CANDIDATE role; every row is processed as a query below)
+    counts = np.bincount(assign, minlength=nlist)
+    mcap = max(int(np.quantile(counts, 0.98)), 8)
+    members = np.full((nlist, mcap), n, np.int32)       # pad id = n
+    order = np.argsort(assign, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for c in range(nlist):
+        m = order[offs[c]:offs[c + 1]][:mcap]
+        members[c, :m.size] = m
+    trunc = int(np.maximum(counts - mcap, 0).sum())
+    if trunc:
+        logger.info("IVF: %d rows truncated from candidate lists (%.2f%%)",
+                    trunc, 100.0 * trunc / n)
+
+    members_dev = jnp.asarray(members)
+    ccap = nprobe * mcap
+    kk = min(k, n - 1)
+    # pad row: x_dev[n] would be OOB; gather pads with clamp — mask by id
+    qshapes = (128, 1024)
+
+    def make_query_fn(Q):
+        @jax.jit
+        def query(q_ids, cand_ids):
+            qrows = x_dev[q_ids].astype(jnp.float32)        # [Q, D] (clamped)
+            crows = x_dev[jnp.minimum(cand_ids, n - 1)]     # [ccap, D]
+            d2 = (sq_dev[q_ids][:, None]
+                  + jnp.where(cand_ids >= n, jnp.inf,
+                              sq_dev[jnp.minimum(cand_ids, n - 1)])[None, :]
+                  - 2.0 * jnp.dot(qrows.astype(x_dev.dtype), crows.T,
+                                  preferred_element_type=jnp.float32))
+            d2 = jnp.where(cand_ids[None, :] == q_ids[:, None], jnp.inf, d2)
+            neg, idx = jax.lax.approx_max_k(-d2, kk, recall_target=0.95)
+            return -neg, cand_ids[idx]
+
+        return query
+
+    qfns = {Q: make_query_fn(Q) for Q in qshapes}
+    dist = np.empty((n, kk), np.float32)
+    labels = np.empty((n, kk), np.int64)
+    for c in range(nlist):
+        rows_c = order[offs[c]:offs[c + 1]]
+        if rows_c.size == 0:
+            continue
+        cand = members[probe[c]].reshape(-1)                # [ccap]
+        cand_dev = jnp.asarray(cand)
+        pos = 0
+        while pos < rows_c.size:
+            take = rows_c.size - pos
+            Q = qshapes[0] if take <= qshapes[0] else qshapes[1]
+            chunk = rows_c[pos:pos + Q]
+            pad = Q - chunk.size
+            q_ids = np.concatenate([chunk, np.zeros(pad, np.int64)]) \
+                if pad else chunk
+            dd, ll = qfns[Q](jnp.asarray(q_ids, jnp.int32), cand_dev)
+            dd = np.asarray(dd)[:chunk.size]
+            ll = np.asarray(ll)[:chunk.size]
+            dist[chunk] = dd
+            labels[chunk] = ll
+            pos += chunk.size
+    # unfilled slots (clusters smaller than probes provide) carry inf —
+    # clamp to the largest finite distance so downstream weights vanish
+    bad = ~np.isfinite(dist)
+    if bad.any():
+        dist[bad] = np.nanmax(np.where(np.isfinite(dist), dist, np.nan))
+        labels[bad] = np.where(bad, labels[:, :1].repeat(kk, 1), labels)[bad]
+    return dist, labels
+
+
+def knn_recall(vectors: np.ndarray, labels: np.ndarray, nq: int = 1000,
+               seed: int = 0):
+    """recall@k of `labels` vs exact brute force on nq random queries."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = vectors.shape
+    k = labels.shape[1]
+    rng = np.random.default_rng(seed)
+    q = rng.choice(n, min(nq, n), replace=False)
+    x = jnp.asarray(vectors, jnp.bfloat16)
+    sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+
+    @jax.jit
+    def exact(q_ids):
+        rows = x[q_ids]
+        d2 = (sq[None, :] - 2.0 * jnp.dot(rows, x.T,
+                                          preferred_element_type=jnp.float32))
+        d2 = d2.at[jnp.arange(q_ids.shape[0]), q_ids].set(jnp.inf)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx
+
+    hits = 0
+    for lo in range(0, q.size, 256):
+        chunk = q[lo:lo + 256]
+        ex = np.asarray(exact(jnp.asarray(
+            np.pad(chunk, (0, 256 - chunk.size)), jnp.int32)))[:chunk.size]
+        for i, qq in enumerate(chunk):
+            hits += len(set(ex[i]) & set(labels[qq]))
+    return hits / (q.size * k)
+
+
 def perplexity_weights_device(distances, perplexity: float,
                               num_iteration: int = 100, tol: float = 1e-5):
     """Device version of the per-row beta bisection (one jitted fori_loop
