@@ -129,6 +129,7 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
     x_dev = jnp.asarray(vectors, jnp.bfloat16 if dtype == "bfloat16"
                         else jnp.float32)
     sq_dev = jnp.sum(x_dev.astype(jnp.float32) ** 2, axis=1)
+    row_chunk = min(row_chunk, n)
     logger.info("IVF KNN: %d rows, %d clusters, %d probes", n, nlist, nprobe)
     cent = _kmeans_device(x_dev, sq_dev, nlist, sample, kmeans_iters, seed)
     cent_t = cent.astype(x_dev.dtype)
@@ -174,7 +175,7 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
     ccap = nprobe * mcap
     kk = min(k, n - 1)
     # pad row: x_dev[n] would be OOB; gather pads with clamp — mask by id
-    qshapes = (128, 1024)
+    qshapes = (128, 512, 2048)
 
     def make_query_fn(Q):
         @jax.jit
@@ -204,7 +205,7 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
         pos = 0
         while pos < rows_c.size:
             take = rows_c.size - pos
-            Q = qshapes[0] if take <= qshapes[0] else qshapes[1]
+            Q = next((s for s in qshapes if take <= s), qshapes[-1])
             chunk = rows_c[pos:pos + Q]
             pad = Q - chunk.size
             q_ids = np.concatenate([chunk, np.zeros(pad, np.int64)]) \
@@ -354,8 +355,12 @@ class KNNGraph:
         self.edge_weights = np.zeros(0, dtype=np.float32)
         self.vertex_weights = np.zeros(0, dtype=np.float64)
 
+    # past this row count, brute force is O(n^2 d) MXU-hours and the
+    # IVF cluster-probe search takes over (method="auto")
+    IVF_THRESHOLD = 200_000
+
     def load_numpy(self, vectors, num_neighbor=200, perplexity=50,
-                   vector_normalization=True):
+                   vector_normalization=True, method="auto", nprobe=16):
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim != 2:
             vectors = vectors.reshape(len(vectors), -1)
@@ -366,7 +371,10 @@ class KNNGraph:
         self.vector_normalization = bool(vector_normalization)
         self.id2name = [str(i) for i in range(self.num_vertex)]
         self.name2id = {n: i for i, n in enumerate(self.id2name)}
-        self._build(vectors)
+        if method == "auto":
+            method = ("ivf" if self.num_vertex > self.IVF_THRESHOLD
+                      else "exact")
+        self._build(vectors, method=method, nprobe=nprobe)
         return self
 
     load_vectors = load_numpy
@@ -387,18 +395,21 @@ class KNNGraph:
         return self.load_numpy(np.asarray(rows, dtype=np.float32),
                                num_neighbor, perplexity, vector_normalization)
 
-    def _build(self, vectors):
+    def _build(self, vectors, method="exact", nprobe=16):
         k = self.num_neighbor
         if self.vector_normalization:
             # per-dim: subtract mean, divide by max |.| (visualization.cuh:179-193)
             vectors = vectors - vectors.mean(axis=0, keepdims=True)
             vectors = vectors / (np.abs(vectors).max(axis=0, keepdims=True) + EPSILON)
-        logger.info("building %d-NN graph over %d x %d vectors",
-                    k, self.num_vertex, self.dim)
-        dist, labels = exact_knn(vectors, k)
-        # drop self (first column)
-        dist = dist[:, 1:k + 1]
-        labels = labels[:, 1:k + 1]
+        logger.info("building %d-NN graph over %d x %d vectors (%s)",
+                    k, self.num_vertex, self.dim, method)
+        if method == "ivf":
+            dist, labels = ivf_knn(vectors, k, nprobe=nprobe)
+        else:
+            dist, labels = exact_knn(vectors, k)
+            # drop self (first column)
+            dist = dist[:, 1:k + 1]
+            labels = labels[:, 1:k + 1]
         weights = np.asarray(
             perplexity_weights_device(dist, self.perplexity))
         # reciprocal-edge averaging (visualization.cuh:240-253)

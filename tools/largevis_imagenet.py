@@ -1,0 +1,129 @@
+"""ImageNet-scale LargeVis end-to-end measurement (VERDICT r4 item 5).
+
+The environment has no egress, so the real ImageNet ResNet50 features
+(/root/reference/python/graphvite/dataset.py:864-944; 1,331,167 rows x
+2048 dims) cannot be produced. This generates a statistics-matched clone —
+1000 Gaussian class clusters in a 256-dim latent subspace projected to
+2048 dims with feature-scale noise, ReLU'd like penultimate ResNet
+activations — and runs the shipped largevis_imagenet.yaml protocol:
+KNN graph build (num_neighbor 200, perplexity 50) + LargeVis train
+(dim 2, Adam 0.5/wd 1e-5, 5 negatives, negative_weight 3, 50 epochs).
+
+At this scale brute-force KNN is ~7e18 FLOPs (MXU-hours); the build uses
+the IVF cluster-probe search (graphvite_tpu.knn.ivf_knn — all matmuls)
+and REPORTS MEASURED RECALL vs exact brute force on sampled queries, so
+the speed number carries its accuracy tag. The reference's own published
+13.6 min on 4xV100 (doc/source/benchmark.rst:257-264) likewise excludes
+no phase breakdown; RESULTS.md records both phases here.
+
+Quality probe: 10-NN label agreement of the 2-D layout on a subsample
+(clone labels are known).
+
+Usage: python tools/largevis_imagenet.py [--scale 1.0] [--epochs 50]
+Prints one JSON line for RESULTS.md.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FULL = 1_331_167
+DIMS = 2048
+CLASSES = 1000
+
+
+def generate(scale=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(N_FULL * scale)
+    latent = 256
+    means = rng.normal(size=(CLASSES, latent)).astype(np.float32) * 3.0
+    proj = (rng.normal(size=(latent, DIMS)) / np.sqrt(latent)).astype(
+        np.float32)
+    labels = rng.integers(0, CLASSES, n)
+    x = np.empty((n, DIMS), np.float32)
+    chunk = 65536
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        z = (means[labels[lo:hi]]
+             + rng.normal(size=(hi - lo, latent)).astype(np.float32))
+        f = z @ proj + rng.normal(size=(hi - lo, DIMS)).astype(
+            np.float32) * 0.3
+        # ResNet50 penultimate features are post-ReLU: nonnegative, sparse
+        x[lo:hi] = np.maximum(f, 0.0)
+    return x, labels
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--skip-recall", action="store_true")
+    args = ap.parse_args()
+
+    t_gen = time.time()
+    x, labels = generate(args.scale)
+    gen_s = time.time() - t_gen
+    n = x.shape[0]
+
+    from graphvite_tpu.knn import KNNGraph, knn_recall
+    from graphvite_tpu.solver import VisualizationSolver
+
+    t0 = time.time()
+    g = KNNGraph()
+    g.load_numpy(x, num_neighbor=200, perplexity=50, nprobe=args.nprobe)
+    knn_s = time.time() - t0
+
+    recall = None
+    if not args.skip_recall:
+        t_r = time.time()
+        nbrs = g.edge_tails.reshape(n, g.num_neighbor)
+        recall = round(knn_recall(x, nbrs, nq=512), 4)
+        recall_s = round(time.time() - t_r, 1)
+
+    solver = VisualizationSolver(dim=2)
+    solver.build(g, optimizer={"type": "Adam", "lr": 0.5,
+                               "weight_decay": 1e-5},
+                 num_negative=5, batch_size=100000, episode_size=200)
+    # warm compile outside the timed run
+    solver.train(model="LargeVis", num_epoch=1, negative_weight=3,
+                 log_frequency=10**9)
+    solver.batch_id = 0
+    t1 = time.time()
+    solver.train(model="LargeVis", num_epoch=args.epochs, negative_weight=3,
+                 log_frequency=10**9)
+    train_s = time.time() - t1
+
+    coord = np.asarray(solver.coordinates)
+    sub = np.random.default_rng(1).choice(n, 4000, replace=False)
+    c = coord[sub]
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn = np.argsort(d2, axis=1)[:, :10]
+    agree = float((labels[sub][nn] == labels[sub][:, None]).mean())
+
+    samples = solver.num_batch * solver.effective_batch
+    out = {
+        "config": "visualization/largevis_imagenet.yaml (synthetic clone)",
+        "n": n, "dims": DIMS, "generate_s": round(gen_s, 1),
+        "knn_build_s": round(knn_s, 1),
+        "knn_method": "ivf", "nprobe": args.nprobe,
+        "train_s": round(train_s, 1),
+        "samples_per_s": round(samples / train_s, 1),
+        "num_epoch": args.epochs,
+        "layout_10nn_label_agreement": round(agree, 4),
+        "reference": {"total_min": 13.6, "hardware": "4xV100"},
+    }
+    if recall is not None:
+        out["knn_recall_at_200"] = recall
+        out["recall_check_s"] = recall_s
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,14 +46,20 @@ E_FULL = 4_945_382
 N_COMMUNITY = 47
 
 
-def generate(scale=1.0, mu=0.55, label_frac=0.028, seed=0):
-    """Returns (heads, tails, labeled_vertices, label_lists)."""
+def generate(scale=1.0, mu=0.55, label_frac=0.028, seed=0, sizes_exp=0.8):
+    """Returns (heads, tails, labeled_vertices, label_lists).
+
+    `sizes_exp` is the community-size Zipf exponent — the second
+    calibration dial (VERDICT r4 item 4): the sparse-label micro-F1@1%
+    point is probe-sample-starved for mid-sized classes, so it tracks how
+    much label mass the top communities hold (real Youtube groups are
+    extremely skewed); mu remains the separability dial for @10%."""
     rng = np.random.default_rng(seed)
     V = int(V_FULL * scale)
     E = int(E_FULL * scale)
 
     # community sizes ~ Zipf; primary membership per vertex
-    sizes = (np.arange(1, N_COMMUNITY + 1) ** -0.8)
+    sizes = (np.arange(1, N_COMMUNITY + 1) ** -float(sizes_exp))
     sizes /= sizes.sum()
     primary = rng.choice(N_COMMUNITY, V, p=sizes)
     # overlap: 25% get a second community, 8% a third
@@ -125,11 +131,19 @@ def dataset_dir():
     return d
 
 
-def save(scale, mu, seed=0):
-    heads, tails, labeled, label_lists = generate(scale=scale, mu=mu,
-                                                  seed=seed)
-    d = dataset_dir()
+def clone_tag(scale, sizes_exp):
     tag = "" if scale == 1.0 else "_s%g" % scale
+    if sizes_exp != 0.8:
+        tag += "_z%g" % sizes_exp
+    return tag
+
+
+def save(scale, mu, seed=0, sizes_exp=0.8):
+    heads, tails, labeled, label_lists = generate(scale=scale, mu=mu,
+                                                  seed=seed,
+                                                  sizes_exp=sizes_exp)
+    d = dataset_dir()
+    tag = clone_tag(scale, sizes_exp)
     gpath = os.path.join(d, "youtube_clone%s.graph" % tag)
     lpath = os.path.join(d, "youtube_clone%s.label" % tag)
     with open(gpath, "w") as f:
@@ -143,15 +157,16 @@ def save(scale, mu, seed=0):
     return gpath, lpath
 
 
-def run(scale, mu, epochs, portions, seed=0, times=1):
+def run(scale, mu, epochs, portions, seed=0, times=1, sizes_exp=0.8,
+        model="DeepWalk", p=1.0, q=1.0):
     from graphvite_tpu.application import GraphApplication
 
     d = dataset_dir()
-    tag = "" if scale == 1.0 else "_s%g" % scale
+    tag = clone_tag(scale, sizes_exp)
     gpath = os.path.join(d, "youtube_clone%s.graph" % tag)
     lpath = os.path.join(d, "youtube_clone%s.label" % tag)
     if not (os.path.isfile(gpath) and os.path.isfile(lpath)):
-        save(scale, mu, seed=seed)
+        save(scale, mu, seed=seed, sizes_exp=sizes_exp)
 
     # bfloat16 tables + 50-batch episodes: the tuned TPU configuration the
     # throughput headlines use (bf16 quality parity on the BlogCatalog
@@ -169,8 +184,8 @@ def run(scale, mu, epochs, portions, seed=0, times=1):
               num_negative=1, batch_size=250000, episode_size=50)
     # deepwalk_youtube.yaml train section
     t1 = time.time()
-    app.train(model="DeepWalk", num_epoch=epochs, negative_weight=5,
-              augmentation_step=5, random_walk_length=40,
+    app.train(model=model, num_epoch=epochs, negative_weight=5,
+              augmentation_step=5, random_walk_length=40, p=p, q=q,
               log_frequency=1000)
     train_s = time.time() - t1
     t2 = time.time()
@@ -178,8 +193,8 @@ def run(scale, mu, epochs, portions, seed=0, times=1):
                                       times=times)
     eval_s = time.time() - t2
     out = {
-        "protocol": "deepwalk_youtube.yaml on youtube_clone (mu=%g, "
-                    "scale=%g)" % (mu, scale),
+        "protocol": "%s_youtube.yaml on youtube_clone (mu=%g, scale=%g, "
+                    "sizes_exp=%g)" % (model.lower(), mu, scale, sizes_exp),
         "num_epoch": epochs,
         "load_s": round(load_s, 1),
         "train_s": round(train_s, 1),
@@ -202,13 +217,18 @@ def main():
     ap.add_argument("--times", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--portions", type=str, default="0.01,0.1")
+    ap.add_argument("--sizes-exp", type=float, default=0.8)
+    ap.add_argument("--model", type=str, default="DeepWalk")
+    ap.add_argument("--p", type=float, default=1.0)
+    ap.add_argument("--q", type=float, default=1.0)
     args = ap.parse_args()
     if args.cmd == "generate":
-        save(args.scale, args.mu, seed=args.seed)
+        save(args.scale, args.mu, seed=args.seed, sizes_exp=args.sizes_exp)
     else:
         run(args.scale, args.mu, args.epochs,
             [float(x) for x in args.portions.split(",")], seed=args.seed,
-            times=args.times)
+            times=args.times, sizes_exp=args.sizes_exp, model=args.model,
+            p=args.p, q=args.q)
 
 
 if __name__ == "__main__":
