@@ -148,11 +148,14 @@ def run(epochs=1000, dim=2048, eval_fast=None, num_negative=64,
            "eval_triplets": eval_fast or N_TEST,
            **{k: round(float(v), 4) for k, v in lp.items()}}
     if do_entity:
+        # entity_prediction has no fast_mode; time it on a 10k-query slice
+        H, R, T = app._read_triplet_file(p["test"])
+        nq = 10_000
         t2 = time.time()
-        ep = app.evaluate("entity prediction", file_name=p["test"], k=10,
-                          fast_mode=10_000)
+        ep = app.evaluate("entity prediction", H=H[:nq], R=R[:nq],
+                          T=T[:nq], k=10)
         out["entity_prediction_s"] = round(time.time() - t2, 1)
-        out["entity_prediction_queries"] = min(10_000, N_TEST)
+        out["entity_prediction_queries"] = nq
         del ep
     print(json.dumps(out), flush=True)
     return out

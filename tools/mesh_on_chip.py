@@ -191,11 +191,11 @@ def main():
     # walks: per batch per device, the distributed row fetch/return moves
     #   requests  P*C * 8 B  (ids + flags, i32)
     #   rows      P*C * 2D * 2 B  (bf16 both-table rows)
-    #   grads     P*C * 2D * 4 B  (f32 dv|dc return; SGD carries no counts)
+    #   deltas    P*C * 2D * 2 B  (SGD ships lr-scaled TABLE-dtype deltas)
     # with C ~= ceil(slack*N/P), slack=2 (zigzag-balanced partitions).
     N = Bw * (L + 1) + 64 * 64
     C8 = int(np.ceil(2.0 * N / P))
-    bytes_walk = P * C8 * (8 + 2 * D * 2 + 2 * D * 4)
+    bytes_walk = P * C8 * (8 + 2 * D * 2 + 2 * D * 2)
     t_batch_w = dt / EP
     # ring all_to_all: each device ships (P-1)/P of its payload, both
     # directions usable -> effective 2*LINK per device
