@@ -112,7 +112,8 @@ def main():
         "config": "visualization/largevis_imagenet.yaml (synthetic clone)",
         "n": n, "dims": DIMS, "generate_s": round(gen_s, 1),
         "knn_build_s": round(knn_s, 1),
-        "knn_method": "ivf", "nprobe": args.nprobe,
+        "knn_method": ("ivf" if n > g.IVF_THRESHOLD else "exact"),
+        "nprobe": args.nprobe,
         "train_s": round(train_s, 1),
         "samples_per_s": round(samples / train_s, 1),
         "num_epoch": args.epochs,
