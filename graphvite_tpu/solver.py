@@ -1101,6 +1101,7 @@ class GraphSolver(SolverBase):
                                                256)),
                           trust,
                           _os3.environ.get("GRAPHVITE_BF16_BAND", "0"),
+                          _os3.environ.get("GRAPHVITE_SWEEP_BANDED", "0"),
                           _os3.environ.get("GRAPHVITE_N2V_CUCKOO", "1"),
                           _os3.environ.get("GRAPHVITE_N2V_PROPOSALS", ""))
             cache_key = ("graph", model, self.optimizer, self.num_negative,

@@ -362,6 +362,21 @@ def test_banded_mesh_lr0_roundtrip():
     np.testing.assert_allclose(c, c0, rtol=1e-6)
 
 
+def test_banded_mesh_node2vec_finite():
+    """Biased (second-order) walks through the banded mesh engine: the
+    rejection sampler + membership search compile inside the shard_map
+    episode and produce finite tables."""
+    from graphvite_tpu.solver import GraphSolver
+
+    g = two_blocks(80)
+    s = GraphSolver(dim=8, seed=5, num_worker=4)
+    s.build(g, num_negative=1, batch_size=512, episode_size=2)
+    s.train(model="node2vec", num_epoch=30, augmentation_step=2,
+            random_walk_length=6, p=4.0, q=2.0, log_frequency=10**9)
+    assert np.isfinite(s.vertex_embeddings).all()
+    assert not np.allclose(s.vertex_embeddings, 0)
+
+
 def test_banded_mesh_adam_moments_finite():
     """The moments return path (counts + squared sums routed to owners)
     must produce finite tables and learn under Adam."""
