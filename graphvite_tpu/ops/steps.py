@@ -655,6 +655,75 @@ def make_graph_banded_core(opt: Optimizer, num_negative: int,
     return core, (k, M, G, T, neg_w)
 
 
+def make_graph_banded_fused_step(opt: Optimizer, num_negative: int,
+                                 negative_weight: float, aug: int,
+                                 bidir: bool, pool_size: int = 128,
+                                 pool_groups: int = 8):
+    """SGD fast path of the banded walk step over a FUSED (vertex|context)
+    arena: state = {"tables": (vc [V, 2D],), "moments": ((),)}. One
+    [B*L1, 2D] gather and ONE scatter-add replace the two-per-table row
+    ops — scatter cost on v5e is per-row-op bound, and the banded step's
+    two scatters were 43% of its time (PERF.md r4 floor analysis). The
+    mesh engine's W=1 parity came from exactly this fusion; this brings
+    it to the flat engine. Deltas are applied in the table dtype like the
+    unfused scatter (identical rounding). SGD only, and only when the
+    trust clip is inactive (big tables): the clip's row-norm logic is
+    per-table, not per fused row. The solver packs/unpacks the canonical
+    (vertex, context) state once per EPISODE (make_fused_runner
+    state_pack), amortizing the concat/split to noise."""
+    core, (k, M, G, T, _) = make_graph_banded_core(
+        opt, num_negative, negative_weight, aug, bidir, pool_size,
+        pool_groups, trust=None)
+    assert opt.num_moment == 0, "fused arena is the SGD fast path"
+
+    def step(state, chain, _tails, key, lr, *neg_state, mask=None):
+        (vc,) = state["tables"]
+        D = vc.shape[1] // 2
+        B, L1 = chain.shape
+        npos = B * L1
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (G, M))
+        u2 = jax.random.uniform(k2, (G, M))
+        pool_ids = device_sample(*neg_state, u1, u2)         # [G, M]
+
+        if mask is None:
+            mask = jnp.ones((B, L1, T), jnp.float32)
+        rows = vc[chain]                                     # [B, L1, 2D]
+        v = rows[..., :D].astype(jnp.float32)
+        c = rows[..., D:].astype(jnp.float32)
+        P = vc[pool_ids][..., D:].astype(jnp.float32)        # [G, M, D]
+
+        o = core(v, c, P, mask, lr, table_bf16=vc.dtype == jnp.bfloat16)
+        mean_loss = (o["loss_sum"] / jnp.maximum(o["n_active"], 1.0)
+                     / (1.0 + k * negative_weight))
+        # dead slots carry exactly-zero grads (masked in the core), so
+        # in-range ids scatter-add as no-ops — no sentinel routing needed
+        delta = jnp.concatenate(
+            [jnp.concatenate([o["dv"].reshape(npos, -1),
+                              o["dc"].reshape(npos, -1)], axis=-1),
+             jnp.concatenate([jnp.zeros((G * M, D), jnp.float32),
+                              o["dP"].reshape(G * M, -1)], axis=-1)])
+        ids = jnp.concatenate([chain.reshape(npos), pool_ids.reshape(-1)])
+        new_vc = vc.at[ids].add(-(lr * delta).astype(vc.dtype),
+                                mode="drop")
+        return {"tables": (new_vc,), "moments": ((),)}, mean_loss
+
+    return step
+
+
+def banded_fused_pack(state):
+    """Canonical graph state -> fused-arena state (one concat per episode)."""
+    vertex, context = state["tables"]
+    return {"tables": (jnp.concatenate([vertex, context], axis=-1),),
+            "moments": ((),)}
+
+
+def banded_fused_unpack(state):
+    (vc,) = state["tables"]
+    D = vc.shape[1] // 2
+    return {"tables": (vc[:, :D], vc[:, D:]), "moments": ((), ())}
+
+
 def make_graph_banded_walk_step(opt: Optimizer, num_negative: int,
                                 negative_weight: float, aug: int,
                                 bidir: bool, pool_size: int = 128,
@@ -1579,7 +1648,8 @@ def make_micro_step(step_fn, num_micro: int, has_relation: bool = False):
 
 def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
                       positive_reuse: int = 1, has_relation: bool = False,
-                      bulk_sample_fn=None):
+                      bulk_sample_fn=None, state_pack=None,
+                      state_unpack=None):
     """Compile a runner that trains `ep_groups * positive_reuse` batches per
     device call, generating positives via `sample_fn(key, *sampler_arrays)`
     inside jit. Each group reuses its positives `positive_reuse` times with
@@ -1604,6 +1674,11 @@ def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
     def run(state, batch_id0, num_batch_total, base_key, sampler_arrays,
             neg_state):
+        if state_pack is not None:
+            # e.g. the banded SGD fused arena: pack the canonical state
+            # into the step's layout once per episode (amortized over
+            # ep_groups batches), unpack before returning
+            state = state_pack(state)
         if bulk_sample_fn is not None:
             # fold value ep_groups cannot collide with any group's key
             # (groups fold g in [0, ep_groups))
@@ -1641,6 +1716,8 @@ def make_fused_runner(step_fn, sample_fn, opt: Optimizer, ep_groups: int,
 
         state, losses = jax.lax.scan(
             group, state, jnp.arange(ep_groups, dtype=jnp.int32))
+        if state_unpack is not None:
+            state = state_unpack(state)
         return state, losses.reshape(-1)
 
     return run

@@ -149,7 +149,8 @@ class SolverBase:
         return sampler
 
     def _get_runner(self, cache_key, step_fn, sample_fn, ep_groups, R,
-                    has_relation, bulk_sample_fn=None):
+                    has_relation, bulk_sample_fn=None, state_pack=None,
+                    state_unpack=None):
         """Memoize compiled runners across train() calls: a new closure would
         be a new jit cache entry and recompiling costs ~1 min through the
         remote-compile tunnel."""
@@ -159,7 +160,8 @@ class SolverBase:
         if runner is None:
             runner = _steps.make_fused_runner(
                 step_fn, sample_fn, self.optimizer, ep_groups, R,
-                has_relation, bulk_sample_fn=bulk_sample_fn)
+                has_relation, bulk_sample_fn=bulk_sample_fn,
+                state_pack=state_pack, state_unpack=state_unpack)
             self._runner_cache[cache_key] = runner
         return runner
 
@@ -432,7 +434,8 @@ class SolverBase:
 
     def _train_loop_device(self, step_fn, sampler, neg_state, num_epoch,
                            positive_reuse, log_frequency, has_relation,
-                           cache_key=None):
+                           cache_key=None, state_pack=None,
+                           state_unpack=None):
         """Fully-fused loop: positives sampled on device inside the scan."""
         num_edge = self.graph.num_edge
         batch_size, micro_batch, num_micro = self._batch_plan()
@@ -475,13 +478,15 @@ class SolverBase:
         if cache_key is None:
             runner = _steps.make_fused_runner(
                 step_fn, sample_fn, self.optimizer, ep_groups, R,
-                has_relation, bulk_sample_fn=bulk_fn)
+                has_relation, bulk_sample_fn=bulk_fn,
+                state_pack=state_pack, state_unpack=state_unpack)
         else:
             runner = self._get_runner(
                 cache_key + (ep_groups, R, has_relation, self.batch_size,
                              num_micro, bulk_fn is not None),
                 step_fn, sample_fn, ep_groups, R, has_relation,
-                bulk_sample_fn=bulk_fn)
+                bulk_sample_fn=bulk_fn, state_pack=state_pack,
+                state_unpack=state_unpack)
         sampler_arrays = sampler.arrays()
         key = jax.random.PRNGKey(self.seed + self.batch_id)
         logger.info("training %s: %d batches of %d "
@@ -989,11 +994,33 @@ class GraphSolver(SolverBase):
                 b_walks = max(pool_batch // slot_unit, 1)
                 pool_groups = _steps.graph_pool_groups(
                     b_walks, target_group=max(2048 // slot_unit, 1))
-                step_fn = _steps.make_graph_banded_walk_step(
-                    self.optimizer, self.num_negative,
-                    float(negative_weight), augmentation_step, walk_bidir,
-                    pool_size=pool_size, pool_groups=pool_groups,
-                    trust=trust)
+                # fused (vertex|context) arena: ONE gather + ONE scatter
+                # per batch instead of two of each (the banded step's
+                # scatters were 43% of its time, PERF.md r4). SGD only,
+                # and only where the trust clip is inactive (its row-norm
+                # logic is per-table); the canonical state is packed /
+                # unpacked once per episode (make_fused_runner).
+                from graphvite_tpu.optim import DENSE_UPDATE_ELEMS as _DUE
+                self._banded_fused = (
+                    self.optimizer.num_moment == 0
+                    and (trust is None
+                         or num_vertex * self.dim > _DUE)
+                    and _os3.environ.get("GRAPHVITE_SWEEP_BANDED",
+                                         "0") != "1"
+                    and _os3.environ.get("GRAPHVITE_FUSED_ARENA",
+                                         "1") != "0")
+                if self._banded_fused:
+                    step_fn = _steps.make_graph_banded_fused_step(
+                        self.optimizer, self.num_negative,
+                        float(negative_weight), augmentation_step,
+                        walk_bidir, pool_size=pool_size,
+                        pool_groups=pool_groups)
+                else:
+                    step_fn = _steps.make_graph_banded_walk_step(
+                        self.optimizer, self.num_negative,
+                        float(negative_weight), augmentation_step,
+                        walk_bidir, pool_size=pool_size,
+                        pool_groups=pool_groups, trust=trust)
             elif multitail:
                 # groups bound coherent PAIR mass per pool row, so the
                 # per-group position target shrinks by the tail count
@@ -1093,6 +1120,7 @@ class GraphSolver(SolverBase):
             # reuses the stale executable
             step_shape = (use_sweep, use_sweep_ctx, use_sweep_gather,
                           gather_tile, sort_heads, multitail, banded,
+                          getattr(self, "_banded_fused", False),
                           num_tail,
                           pool_size if negative_sharing else 0,
                           int(_os3.environ.get("GRAPHVITE_SWEEP_TILE",
@@ -1111,9 +1139,12 @@ class GraphSolver(SolverBase):
                          bool(negative_sharing),
                          pool_groups if negative_sharing else 0,
                          step_shape)
-            self._train_loop_device(step_fn, sampler, neg_state, num_epoch,
-                                    positive_reuse, log_frequency, False,
-                                    cache_key)
+            fused = getattr(self, "_banded_fused", False) and banded
+            self._train_loop_device(
+                step_fn, sampler, neg_state, num_epoch, positive_reuse,
+                log_frequency, False, cache_key,
+                state_pack=_steps.banded_fused_pack if fused else None,
+                state_unpack=_steps.banded_fused_unpack if fused else None)
             return
         if augmentation_step == 1:
             sampler = EdgeSampler(self.graph, seed=int(self._rng.integers(2**31)))

@@ -494,3 +494,38 @@ def test_graph_banded_step_matches_multitail_step():
                     np.testing.assert_allclose(np.asarray(a),
                                                np.asarray(b),
                                                rtol=3e-4, atol=3e-6)
+
+
+def test_banded_fused_arena_matches_unfused():
+    """The fused (vertex|context)-arena SGD step must produce EXACTLY the
+    unfused banded step's tables (same RNG stream, zero-grad dead slots,
+    same per-row deltas) — the flat-engine fusion that mirrors the mesh
+    engine's W=1 parity trick."""
+    import os
+    import numpy as np
+    from graphvite_tpu.graph import Graph
+    from graphvite_tpu.solver import GraphSolver
+
+    rng = np.random.default_rng(0)
+    edges = [(str(rng.integers(300)), str(rng.integers(300)))
+             for _ in range(4000)]
+    g = Graph().load_edge_list(edges)
+
+    def train(fused):
+        os.environ["GRAPHVITE_TRUST"] = "0"       # trust off -> fused legal
+        os.environ["GRAPHVITE_FUSED_ARENA"] = "1" if fused else "0"
+        try:
+            s = GraphSolver(dim=16, seed=11)
+            s.build(g, num_negative=2, batch_size=2048, episode_size=3)
+            s.train(model="DeepWalk", num_epoch=30, augmentation_step=2,
+                    random_walk_length=6, log_frequency=10**9)
+            assert getattr(s, "_banded_fused", False) == fused
+            return s.vertex_embeddings, s.context_embeddings
+        finally:
+            del os.environ["GRAPHVITE_TRUST"]
+            del os.environ["GRAPHVITE_FUSED_ARENA"]
+
+    v1, c1 = train(True)
+    v0, c0 = train(False)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(c1, c0, rtol=1e-5, atol=1e-7)
