@@ -131,10 +131,12 @@ def dataset_dir():
     return d
 
 
-def clone_tag(scale, sizes_exp):
+def clone_tag(scale, sizes_exp, mu=0.55):
     tag = "" if scale == 1.0 else "_s%g" % scale
     if sizes_exp != 0.8:
         tag += "_z%g" % sizes_exp
+    if mu != 0.55:
+        tag += "_m%g" % mu
     return tag
 
 
@@ -143,7 +145,7 @@ def save(scale, mu, seed=0, sizes_exp=0.8):
                                                   seed=seed,
                                                   sizes_exp=sizes_exp)
     d = dataset_dir()
-    tag = clone_tag(scale, sizes_exp)
+    tag = clone_tag(scale, sizes_exp, mu)
     gpath = os.path.join(d, "youtube_clone%s.graph" % tag)
     lpath = os.path.join(d, "youtube_clone%s.label" % tag)
     with open(gpath, "w") as f:
@@ -162,7 +164,7 @@ def run(scale, mu, epochs, portions, seed=0, times=1, sizes_exp=0.8,
     from graphvite_tpu.application import GraphApplication
 
     d = dataset_dir()
-    tag = clone_tag(scale, sizes_exp)
+    tag = clone_tag(scale, sizes_exp, mu)
     gpath = os.path.join(d, "youtube_clone%s.graph" % tag)
     lpath = os.path.join(d, "youtube_clone%s.label" % tag)
     if not (os.path.isfile(gpath) and os.path.isfile(lpath)):
