@@ -910,9 +910,14 @@ class GraphSolver(SolverBase):
         #                computed as a static shifted band (~2/T rows
         #                per pair) — the default
         # Bidirectional emission additionally mines the reversed pairs
-        # of each walk (stationary-start walks on an undirected graph
-        # are reversible, so reversed pairs are i.i.d. extra samples),
-        # halving walk-generation cost per pair.
+        # of each walk (stationary-start FIRST-ORDER walks on an
+        # undirected graph are exactly reversible, so reversed pairs are
+        # i.i.d. extra samples), halving walk-generation cost per pair.
+        # For node2vec's second-order walks reversibility is only
+        # approximate; the default stays ON per the recorded clone A/B
+        # (RESULTS.md round 5: micro-F1@10% 39.7 bidir vs 40.7
+        # forward-only — within probe noise — at 3.6x the throughput).
+        # GRAPHVITE_WALK_BIDIR=0 restores reference-faithful emission.
         walk_step_mode = _os3.environ.get("GRAPHVITE_WALK_STEP", "banded")
         if _os3.environ.get("GRAPHVITE_MULTITAIL", "1") == "0":
             walk_step_mode = "pair"   # legacy kill-switch
