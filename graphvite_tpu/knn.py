@@ -126,8 +126,13 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
     if nlist <= 0:
         nlist = max(int(np.sqrt(n) * 2), 64)
     nprobe = min(nprobe, nlist)
-    x_dev = jnp.asarray(vectors, jnp.bfloat16 if dtype == "bfloat16"
-                        else jnp.float32)
+    if dtype == "bfloat16":
+        # cast on HOST before upload: a device-side cast holds the f32 AND
+        # bf16 copies simultaneously (10.9 + 5.5 GB at ImageNet scale =
+        # HBM OOM), and bf16 halves the upload too
+        import ml_dtypes
+        vectors = np.asarray(vectors).astype(ml_dtypes.bfloat16)
+    x_dev = jnp.asarray(vectors)
     sq_dev = jnp.sum(x_dev.astype(jnp.float32) ** 2, axis=1)
     row_chunk = min(row_chunk, n)
     logger.info("IVF KNN: %d rows, %d clusters, %d probes", n, nlist, nprobe)
@@ -235,7 +240,8 @@ def knn_recall(vectors: np.ndarray, labels: np.ndarray, nq: int = 1000,
     k = labels.shape[1]
     rng = np.random.default_rng(seed)
     q = rng.choice(n, min(nq, n), replace=False)
-    x = jnp.asarray(vectors, jnp.bfloat16)
+    import ml_dtypes
+    x = jnp.asarray(np.asarray(vectors).astype(ml_dtypes.bfloat16))
     sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
 
     @jax.jit
