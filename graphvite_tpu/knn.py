@@ -74,13 +74,17 @@ def _kmeans_device(x_dev, sq_dev, nlist: int, sample: int, iters: int,
     n = x_dev.shape[0]
     rng = np.random.default_rng(seed)
     sample = min(sample, n)
-    sidx = jnp.asarray(rng.choice(n, sample, replace=False), jnp.int32)
-    xs = x_dev[sidx].astype(jnp.float32)                  # [S, D]
-    cidx = jnp.asarray(rng.choice(sample, nlist, replace=False), jnp.int32)
+    # keep index arrays HOST-side: a closure-captured device array is
+    # embedded as a compile-time constant via a D2H copy, and this
+    # environment's tunnel can fail that copy with ResourceExhausted
+    # while large uploads are in flight
+    sidx = np.sort(rng.choice(n, sample, replace=False)).astype(np.int32)
+    xs = x_dev[jnp.asarray(sidx)].astype(jnp.float32)     # [S, D]
+    cidx = rng.choice(sample, nlist, replace=False).astype(np.int32)
 
     @jax.jit
     def run(xs):
-        cent = xs[cidx]
+        cent = xs[jnp.asarray(cidx)]
 
         def body(_, cent):
             d2 = (jnp.sum(cent * cent, axis=1)[None, :]
@@ -139,26 +143,32 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
     cent = _kmeans_device(x_dev, sq_dev, nlist, sample, kmeans_iters, seed)
     cent_t = cent.astype(x_dev.dtype)
 
-    # full assignment (chunked argmin matmul)
+    # full assignment (chunked argmin matmul). Big device arrays are
+    # explicit jit ARGUMENTS throughout this function: closure-captured
+    # arrays can be materialized host-side as compile constants (a
+    # multi-GB D2H this environment's tunnel fails with
+    # ResourceExhausted).
     @jax.jit
-    def assign_chunk(lo):
-        rows = jax.lax.dynamic_slice_in_dim(x_dev, lo, row_chunk, 0)
-        d2 = (jnp.sum(cent * cent, axis=1)[None, :]
-              - 2.0 * jnp.dot(rows, cent_t.T,
+    def assign_chunk(xd, ct, csq, lo):
+        rows = jax.lax.dynamic_slice_in_dim(xd, lo, row_chunk, 0)
+        d2 = (csq[None, :]
+              - 2.0 * jnp.dot(rows, ct.T,
                               preferred_element_type=jnp.float32))
         return jnp.argmin(d2, axis=1)
 
+    cent_sq = jnp.sum(cent * cent, axis=1)
     assign = np.empty(n, np.int32)
     for lo in range(0, n, row_chunk):
         hi = min(lo + row_chunk, n)
-        a = np.asarray(assign_chunk(min(lo, n - row_chunk)))
+        a = np.asarray(assign_chunk(x_dev, cent_t, cent_sq,
+                                    min(lo, n - row_chunk)))
         assign[lo:hi] = a[lo - min(lo, n - row_chunk):][:hi - lo]
 
     # per-cluster probe lists (own cluster first)
-    cc = np.asarray(jax.jit(lambda: (
-        jnp.sum(cent * cent, axis=1)[None, :]
-        - 2.0 * jnp.dot(cent, cent.T,
-                        preferred_element_type=jnp.float32)))())
+    cc = np.asarray(jax.jit(lambda c, csq: (
+        csq[None, :]
+        - 2.0 * jnp.dot(c, c.T,
+                        preferred_element_type=jnp.float32)))(cent, cent_sq))
     probe = np.argsort(cc, axis=1)[:, :nprobe].astype(np.int32)  # [nlist, np]
 
     # member lists, padded/truncated to mcap (truncation only affects the
@@ -184,13 +194,13 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
 
     def make_query_fn(Q):
         @jax.jit
-        def query(q_ids, cand_ids):
-            qrows = x_dev[q_ids].astype(jnp.float32)        # [Q, D] (clamped)
-            crows = x_dev[jnp.minimum(cand_ids, n - 1)]     # [ccap, D]
-            d2 = (sq_dev[q_ids][:, None]
+        def query(xd, sq, q_ids, cand_ids):
+            qrows = xd[q_ids]                               # [Q, D] (clamped)
+            crows = xd[jnp.minimum(cand_ids, n - 1)]        # [ccap, D]
+            d2 = (sq[q_ids][:, None]
                   + jnp.where(cand_ids >= n, jnp.inf,
-                              sq_dev[jnp.minimum(cand_ids, n - 1)])[None, :]
-                  - 2.0 * jnp.dot(qrows.astype(x_dev.dtype), crows.T,
+                              sq[jnp.minimum(cand_ids, n - 1)])[None, :]
+                  - 2.0 * jnp.dot(qrows, crows.T,
                                   preferred_element_type=jnp.float32))
             d2 = jnp.where(cand_ids[None, :] == q_ids[:, None], jnp.inf, d2)
             neg, idx = jax.lax.approx_max_k(-d2, kk, recall_target=0.95)
@@ -215,7 +225,8 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
             pad = Q - chunk.size
             q_ids = np.concatenate([chunk, np.zeros(pad, np.int64)]) \
                 if pad else chunk
-            dd, ll = qfns[Q](jnp.asarray(q_ids, jnp.int32), cand_dev)
+            dd, ll = qfns[Q](x_dev, sq_dev, jnp.asarray(q_ids, jnp.int32),
+                             cand_dev)
             dd = np.asarray(dd)[:chunk.size]
             ll = np.asarray(ll)[:chunk.size]
             dist[chunk] = dd
@@ -245,10 +256,10 @@ def knn_recall(vectors: np.ndarray, labels: np.ndarray, nq: int = 1000,
     sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
 
     @jax.jit
-    def exact(q_ids):
-        rows = x[q_ids]
-        d2 = (sq[None, :] - 2.0 * jnp.dot(rows, x.T,
-                                          preferred_element_type=jnp.float32))
+    def exact(xd, sqd, q_ids):
+        rows = xd[q_ids]
+        d2 = (sqd[None, :] - 2.0 * jnp.dot(rows, xd.T,
+                                           preferred_element_type=jnp.float32))
         d2 = d2.at[jnp.arange(q_ids.shape[0]), q_ids].set(jnp.inf)
         _, idx = jax.lax.top_k(-d2, k)
         return idx
@@ -256,7 +267,7 @@ def knn_recall(vectors: np.ndarray, labels: np.ndarray, nq: int = 1000,
     hits = 0
     for lo in range(0, q.size, 256):
         chunk = q[lo:lo + 256]
-        ex = np.asarray(exact(jnp.asarray(
+        ex = np.asarray(exact(x, sq, jnp.asarray(
             np.pad(chunk, (0, 256 - chunk.size)), jnp.int32)))[:chunk.size]
         for i, qq in enumerate(chunk):
             hits += len(set(ex[i]) & set(labels[qq]))
