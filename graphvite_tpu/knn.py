@@ -137,7 +137,10 @@ def ivf_knn(vectors: np.ndarray, k: int, nlist: int = 0, nprobe: int = 16,
         import ml_dtypes
         vectors = np.asarray(vectors).astype(ml_dtypes.bfloat16)
     x_dev = jnp.asarray(vectors)
-    sq_dev = jnp.sum(x_dev.astype(jnp.float32) ** 2, axis=1)
+    # fused under jit: the eager form materializes a FULL f32 copy of the
+    # bf16 table (10.9 GB at ImageNet scale) before reducing
+    sq_dev = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32) ** 2,
+                                       axis=1))(x_dev)
     row_chunk = min(row_chunk, n)
     logger.info("IVF KNN: %d rows, %d clusters, %d probes", n, nlist, nprobe)
     cent = _kmeans_device(x_dev, sq_dev, nlist, sample, kmeans_iters, seed)
@@ -253,7 +256,8 @@ def knn_recall(vectors: np.ndarray, labels: np.ndarray, nq: int = 1000,
     q = rng.choice(n, min(nq, n), replace=False)
     import ml_dtypes
     x = jnp.asarray(np.asarray(vectors).astype(ml_dtypes.bfloat16))
-    sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+    sq = jax.jit(lambda xx: jnp.sum(xx.astype(jnp.float32) ** 2,
+                                    axis=1))(x)
 
     @jax.jit
     def exact(xd, sqd, q_ids):
