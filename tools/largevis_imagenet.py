@@ -74,17 +74,41 @@ def main():
     from graphvite_tpu.knn import KNNGraph, knn_recall
     from graphvite_tpu.solver import VisualizationSolver
 
-    t0 = time.time()
-    g = KNNGraph()
-    g.load_numpy(x, num_neighbor=200, perplexity=50, nprobe=args.nprobe)
-    knn_s = time.time() - t0
-
+    # cache the built KNN graph: the tunnel can stall mid-train and the
+    # 25-min IVF build must not be repaid on retries
+    cache = os.path.expanduser("~/.graphvite_tpu/imagenet_knn_s%g.npz"
+                               % args.scale)
     recall = None
-    if not args.skip_recall:
-        t_r = time.time()
-        nbrs = g.edge_tails.reshape(n, g.num_neighbor)
-        recall = round(knn_recall(x, nbrs, nq=512), 4)
-        recall_s = round(time.time() - t_r, 1)
+    recall_s = 0.0
+    if os.path.isfile(cache):
+        z = np.load(cache)
+        g = KNNGraph()
+        g.num_vertex, g.dim = n, DIMS
+        g.num_neighbor = 200
+        g.id2name = [str(i) for i in range(n)]
+        g.name2id = {}
+        g.edge_heads = z["heads"]
+        g.edge_tails = z["tails"]
+        g.edge_weights = z["weights"]
+        g.num_edge = g.edge_heads.size
+        g.vertex_weights = np.ones(n, np.float64)
+        knn_s = float(z["knn_s"])
+        recall = float(z["recall"])
+        print("loaded cached KNN graph (%d edges)" % g.num_edge)
+    else:
+        t0 = time.time()
+        g = KNNGraph()
+        g.load_numpy(x, num_neighbor=200, perplexity=50,
+                     nprobe=args.nprobe)
+        knn_s = time.time() - t0
+        if not args.skip_recall:
+            t_r = time.time()
+            nbrs = g.edge_tails.reshape(n, g.num_neighbor)
+            recall = round(knn_recall(x, nbrs, nq=512), 4)
+            recall_s = round(time.time() - t_r, 1)
+        np.savez(cache, heads=g.edge_heads, tails=g.edge_tails,
+                 weights=g.edge_weights, knn_s=knn_s,
+                 recall=recall if recall is not None else -1.0)
 
     solver = VisualizationSolver(dim=2)
     solver.build(g, optimizer={"type": "Adam", "lr": 0.5,
@@ -96,7 +120,7 @@ def main():
     solver.batch_id = 0
     t1 = time.time()
     solver.train(model="LargeVis", num_epoch=args.epochs, negative_weight=3,
-                 log_frequency=10**9)
+                 log_frequency=10000)
     train_s = time.time() - t1
 
     coord = np.asarray(solver.coordinates)
