@@ -279,7 +279,12 @@ def _apply_row_updates_dense(table, moments, ids, reg_grads, opt: Optimizer,
     # one scatter was 85% of the whole step). Padding bytes are free next
     # to the 4x tile-alignment win.
     w = 2 * d + 1
-    wpad = (-w) % 128
+    # ... but ONLY for narrow rows on big tables: at [70k, 17] the
+    # unpadded scatter is already ~1 ms and the padded zeros cost more
+    # (bench largevis regressed 14.6 -> 8.9M), and for wide rows (KG
+    # dim 2048 -> w=4097) padding copies the whole update matrix
+    # (KG regressed 3.2x -> 2.0x). Measured crossover: narrow w, v >= 5e5.
+    wpad = (-w) % 128 if (w < 128 and v >= 500_000) else 0
     upd = jnp.concatenate([g32, sq, cnt[:, None]], axis=1)
     if wpad:
         upd = jnp.pad(upd, ((0, 0), (0, wpad)))
